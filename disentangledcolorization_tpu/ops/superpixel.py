@@ -1,0 +1,164 @@
+"""Soft superpixel pooling / unpooling on a 9-neighbor affinity map. NHWC, jittable.
+
+Capability parity with the reference hot fusions (/root/reference/models/basic.py:
+poolfeat 274-324, upfeat 338-376, get_spixel_size 327-335, init_spixel_grid 221-260,
+split_spixels 263-271), re-designed for the TPU:
+
+Instead of 9 shifted avg_pool+pad passes (bandwidth-bound on GPU), both ops are
+expressed as a single block-reshape plus one (9 x C) tensor contraction per pixel
+block, which XLA maps onto the MXU and fuses with the neighbor-shift adds on the
+small token grid:
+
+  pool:  T[n,i,j,d,c] = mean_{p in cell(i,j)} prob_d[p] * feat_c[p]      (einsum)
+         pooled[n,i,j,c] = sum_d T[n, (i,j)-off_d, d, c] / mass          (9 shifts)
+  up:    out[n,p,c] = sum_d prob_d[p] * tokens[cell(p)+off_d, c]         (einsum)
+
+Direction order d=0..8 is (top-left, top, top-right, left, center, right,
+bottom-left, bottom, bottom-right), i.e. off_d spans (-1,-1)..(1,1) row-major,
+matching the reference's shift9pos layout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# row-major (dy, dx) offsets for the 9 neighbor directions
+_OFFSETS = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+
+
+def _block(x: jnp.ndarray, sp_h: int, sp_w: int) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H/sp, sp_h, W/sp, sp_w, C)."""
+    n, h, w, c = x.shape
+    return x.reshape(n, h // sp_h, sp_h, w // sp_w, sp_w, c)
+
+
+@partial(jax.jit, static_argnames=("sp_h", "sp_w", "need_entry_prob"))
+def poolfeat(
+    feat: jnp.ndarray,
+    prob: jnp.ndarray,
+    sp_h: int = 16,
+    sp_w: int = 16,
+    need_entry_prob: bool = False,
+):
+    """Soft-pool pixel features onto the superpixel token grid.
+
+    Args:
+      feat: (N, H, W, C) pixel features.
+      prob: (N, H, W, 9) soft assignment of each pixel to the superpixel in each
+        of its 9 neighboring cells (softmax over the 9 channels).
+      sp_h, sp_w: superpixel cell size.
+      need_entry_prob: also return the per-token soft mass (N, H/sp, W/sp, 1).
+
+    Returns:
+      (N, H/sp_h, W/sp_w, C) pooled features (and optionally the mass).
+    """
+    n, h, w, c = feat.shape
+    hc, wc = h // sp_h, w // sp_w
+    compute_dtype = jnp.promote_types(feat.dtype, jnp.float32)
+    ones = jnp.ones((n, h, w, 1), dtype=feat.dtype)
+    f1 = jnp.concatenate([feat, ones], axis=-1)
+    fb = _block(f1, sp_h, sp_w).astype(compute_dtype)
+    pb = _block(prob, sp_h, sp_w).astype(compute_dtype)
+    # per-cell, per-direction soft means: (N, Hc, Wc, 9, C+1)
+    t = jnp.einsum("nhpwqd,nhpwqc->nhwdc", pb, fb) / (sp_h * sp_w)
+    # superpixel (i, j) accumulates direction d from cell (i, j) - off_d
+    tp = jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    acc = jnp.zeros((n, hc, wc, c + 1), dtype=compute_dtype)
+    for d, (dy, dx) in enumerate(_OFFSETS):
+        acc = acc + jax.lax.dynamic_slice(
+            tp[..., d, :], (0, 1 - dy, 1 - dx, 0), (n, hc, wc, c + 1)
+        )
+    feat_sum, prob_sum = acc[..., :c], acc[..., c:]
+    pooled = (feat_sum / (prob_sum + 1e-8)).astype(feat.dtype)
+    if need_entry_prob:
+        return pooled, prob_sum.astype(feat.dtype)
+    return pooled
+
+
+@partial(jax.jit, static_argnames=("up_h", "up_w"))
+def upfeat(tokens: jnp.ndarray, prob: jnp.ndarray, up_h: int = 16, up_w: int = 16) -> jnp.ndarray:
+    """Soft-unpool superpixel tokens back to pixels.
+
+    Args:
+      tokens: (N, Hc, Wc, C) token-grid features.
+      prob: (N, Hc*up_h, Wc*up_w, 9) pixel-to-neighbor-superpixel affinity.
+
+    Returns:
+      (N, Hc*up_h, Wc*up_w, C) per-pixel mixture of the 9 neighboring tokens.
+    """
+    n, hc, wc, c = tokens.shape
+    compute_dtype = jnp.promote_types(tokens.dtype, jnp.float32)
+    tp = jnp.pad(tokens, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # neighbor stack: S[n, i, j, d, c] = tokens[i + dy_d, j + dx_d] (zeros outside)
+    s = jnp.stack(
+        [
+            jax.lax.dynamic_slice(tp, (0, 1 + dy, 1 + dx, 0), (n, hc, wc, c))
+            for (dy, dx) in _OFFSETS
+        ],
+        axis=3,
+    ).astype(compute_dtype)
+    pb = _block(prob, up_h, up_w).astype(compute_dtype)
+    out = jnp.einsum("nhpwqd,nhwdc->nhpwqc", pb, s)
+    return out.reshape(n, hc * up_h, wc * up_w, c).astype(tokens.dtype)
+
+
+def hard_assignment(prob: jnp.ndarray) -> jnp.ndarray:
+    """Winner-take-all over the 9 affinity channels; ties keep every winner at 1.
+
+    Matches the reference's ``prob == prob.max()`` hardening (basic.py:329-330).
+    """
+    amax = jnp.max(prob, axis=-1, keepdims=True)
+    return (prob == amax).astype(prob.dtype)
+
+
+@partial(jax.jit, static_argnames=("sp_h", "sp_w"))
+def get_spixel_size(affinity_map: jnp.ndarray, sp_h: int = 16, sp_w: int = 16) -> jnp.ndarray:
+    """Relative superpixel sizes (N, H/sp, W/sp, 1) in [0, ~1].
+
+    Winner-take-all hardening of the affinity, then the soft mass of a poolfeat
+    over a ones map (reference basic.py:327-335).
+    """
+    assign = hard_assignment(affinity_map)
+    ones = jnp.ones(affinity_map.shape[:3] + (1,), dtype=affinity_map.dtype)
+    _, mass = poolfeat(ones, assign, sp_h, sp_w, need_entry_prob=True)
+    return mass
+
+
+def init_spixel_grid(img_height: int, img_width: int, spixel_size: int = 16):
+    """Static 9-channel shifted superpixel-id grid + (x, y) pixel coordinates.
+
+    Host-side (numpy) construction done once at startup, mirroring reference
+    basic.py:221-260. Returns NHWC-style arrays without the batch dim:
+      spixel_ids: (H, W, 9) float32, coord_feat: (H, W, 2) float32 with (x, y).
+    """
+    n_h = img_height // spixel_size
+    n_w = img_width // spixel_size
+    sp_h = img_height // n_h
+    sp_w = img_width // n_w
+    ids = np.arange(n_h * n_w, dtype=np.int32).reshape(n_h, n_w)
+    padded = np.pad(ids, 1, mode="edge")
+    shifted = np.stack(
+        [padded[1 + dy : 1 + dy + n_h, 1 + dx : 1 + dx + n_w] for (dy, dx) in _OFFSETS],
+        axis=-1,
+    )  # (n_h, n_w, 9)
+    spixel_ids = np.repeat(np.repeat(shifted, sp_h, axis=0), sp_w, axis=1).astype(np.float32)
+
+    ys, xs = np.meshgrid(np.arange(img_height), np.arange(img_width), indexing="ij")
+    coord_feat = np.stack([xs, ys], axis=-1).astype(np.float32)
+    return jnp.asarray(spixel_ids), jnp.asarray(coord_feat)
+
+
+@jax.jit
+def split_spixels(assign_map: jnp.ndarray, spixel_ids: jnp.ndarray) -> jnp.ndarray:
+    """Hard superpixel id map (N, H, W, 1) from affinity (N, H, W, 9).
+
+    Winner-take-all against the shifted id grid (reference basic.py:263-271);
+    used for visualization of segment boundaries.
+    """
+    assign = hard_assignment(assign_map)
+    ids = jnp.broadcast_to(spixel_ids[None], assign.shape)
+    return jnp.sum(ids * assign, axis=-1, keepdims=True).astype(jnp.int32)
