@@ -285,7 +285,7 @@ class UpsampleBlock(nn.Module):
         x = upsample_nearest_2x(x)
         x = nn.relu(Conv(self.features, name="combine")(jnp.concatenate([x, skip], axis=-1)))
         for i in range(self.conv_num - 1):
-            x = nn.relu(Conv(self.features, name=f"conv{i}")(x))
+            x = nn.relu(Conv(self.features, name=f"post_conv{i}")(x))
         if self.use_norm:
             x = BatchNorm(use_running_average=not self.train, name="norm")(x)
         return x
@@ -310,7 +310,7 @@ class UpsampleBlockSN(nn.Module):
         x = nn.leaky_relu(x, 0.2)
         for i in range(self.conv_num - 1):
             x = nn.leaky_relu(
-                SNConv(self.features, folded=self.sn_folded, name=f"conv{i}")(
+                SNConv(self.features, folded=self.sn_folded, name=f"post_conv{i}")(
                     x, update_stats=self.train
                 ),
                 0.2,
