@@ -1,0 +1,127 @@
+"""Jitted train/eval steps for both training stages, data-parallel via sharding.
+
+Replaces the reference's per-GPU DDP step (train_colorizer.py:135-163,
+train_spixel.py:116-170): one jit-compiled function over a batch-sharded global
+array; XLA inserts the gradient all-reduce over the mesh. BatchNorm batch
+statistics are global-batch statistics under pjit (SyncBN semantics).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import colorlabel as cl
+from ..ops import superpixel as sp_ops
+from . import losses as losses_lib
+from .state import TrainState
+
+
+def make_spixel_train_step(model, kernel_size: int = 16):
+    """SpixelNet pretraining step. Batch: {'gray': (N,H,W,1), 'color': (N,H,W,2),
+    'coord': (N,H,W,2)} where coord is the static (x, y) grid / pack_meta_data
+    equivalent (train_spixel.py:237-248)."""
+
+    def step(state: TrainState, batch: dict, dropout_key):
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            prob, mutated = model.apply(
+                variables, batch["gray"], mutable=["batch_stats"]
+            )
+            labxy = jnp.concatenate([batch["color"], batch["coord"]], axis=-1)
+            metrics = losses_lib.spixel_loss(prob, labxy, kernel_size)
+            return metrics["totalLoss"], (metrics, mutated)
+
+        (loss, (metrics, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads, new_batch_stats=mutated.get("batch_stats"))
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_colorizer_train_step(model, loss_bundle: losses_lib.AnchorColorProbLoss):
+    """Colorizer training step (stage 2). Batch: {'gray': (N,H,W,1),
+    'color': (N,H,W,2)}. The anchor k-means key and dropout key are split from
+    a per-step base key for reproducibility."""
+
+    def step(state: TrainState, batch: dict, base_key):
+        anchor_key, dropout_key = jax.random.split(jax.random.fold_in(base_key, state.step))
+
+        def loss_fn(params):
+            variables = {
+                "params": params,
+                "batch_stats": state.batch_stats,
+                "spectral": state.spectral,
+            }
+            out, mutated = model.apply(
+                variables,
+                batch["gray"],
+                batch["color"],
+                False,  # test_mode
+                0,
+                True,  # train
+                rngs={"anchor": anchor_key, "dropout": dropout_key},
+                mutable=["batch_stats", "spectral"],
+            )
+            gt_labels = out["token_labels"]
+            class_w = cl.get_classweights(gt_labels)
+            data = {
+                "pal_logit": out["pal_logit"],
+                "ref_logit": out["ref_logit"],
+                "target_label": gt_labels,
+                "class_weight": class_w,
+                "spix_color": out["spix_colors"],
+                "input_gray": batch["gray"],
+                "input_color": batch["color"],
+                "pred_color": out["pred_colors"],
+            }
+            metrics = loss_bundle(data)
+            return metrics["totalLoss"], (metrics, mutated)
+
+        (loss, (metrics, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(
+            grads,
+            new_batch_stats=mutated.get("batch_stats"),
+            new_spectral=mutated.get("spectral"),
+        )
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_colorizer_eval_step(model, loss_bundle: losses_lib.AnchorColorProbLoss):
+    """Validation step: eval-mode forward (training anchor semantics, no
+    dropout/BN update), returns loss metrics (train_colorizer.py:179-213)."""
+
+    def step(state: TrainState, batch: dict, base_key):
+        out = model.apply(
+            state.variables(),
+            batch["gray"],
+            batch["color"],
+            False,
+            0,
+            False,
+            rngs={"anchor": base_key},
+        )
+        gt_labels = out["token_labels"]
+        class_w = cl.get_classweights(gt_labels)
+        data = {
+            "pal_logit": out["pal_logit"],
+            "ref_logit": out["ref_logit"],
+            "target_label": gt_labels,
+            "class_weight": class_w,
+            "spix_color": out["spix_colors"],
+            "input_gray": batch["gray"],
+            "input_color": batch["color"],
+            "pred_color": out["pred_colors"],
+        }
+        return loss_bundle(data)
+
+    return jax.jit(step)
