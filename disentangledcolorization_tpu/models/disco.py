@@ -66,6 +66,8 @@ class AnchorColorProb(nn.Module):
         test_mode: bool = True,
         sampled_T: int = 0,
         train: bool = False,
+        hint_mask_override: Optional[jnp.ndarray] = None,
+        anchor_colors_override: Optional[jnp.ndarray] = None,
     ):
         """Forward pass.
 
@@ -78,6 +80,11 @@ class AnchorColorProb(nn.Module):
             >0 diverse (batch tiled x3 with T=0,1,2).
           train: static; enables dropout/BN-batch-stats/spectral-norm updates
             on the trainable submodules (segnet stays frozen in eval mode).
+          hint_mask_override: optional (N, h, w, 1) binary mask replacing the
+            generated anchor locations — the interactive-editing affordance of
+            the reference's io_user_control (basic.py:50-74, model.py:163-164).
+          anchor_colors_override: optional (N, h, w, 2) normalized ab replacing
+            the sampled anchor colors (user-provided hints).
 
         Returns dict with pal_logit (N,h,w,313), ref_logit (N*,h,w,313|2),
         pred_colors (N*,H,W,2) or None, affinity_map, spix_colors, hint_mask.
@@ -145,7 +152,10 @@ class AnchorColorProb(nn.Module):
         sampled_token_labels = None
         if test_mode:
             color_feat = enc_out.reshape(n, hc, wc, d)
-            if self.random_hint:
+            if hint_mask_override is not None:
+                hint_mask = hint_mask_override
+                cluster_mask = jnp.zeros((n, hc, wc, self.n_clusters), jnp.float32)
+            elif self.random_hint:
                 hint_mask, cluster_mask = anchor.random_hint_mask(
                     self.make_rng("anchor"), n, hc, wc, self.n_clusters
                 )
@@ -171,6 +181,8 @@ class AnchorColorProb(nn.Module):
                     src_pad_mask = tile(src_pad_mask)
             else:
                 sampled_spix_colors = anchor.sample_anchor_colors(pred_prob, T=sampled_T)
+            if anchor_colors_override is not None:
+                sampled_spix_colors = anchor_colors_override
             sampled_token_labels = cl.nearest_bin_index(sampled_spix_colors)
             spix_colors = sampled_spix_colors  # anchor visualization (model.py:168)
         else:

@@ -1,0 +1,154 @@
+"""Datasets & input pipeline: Lab image folders, ImageNet filelists, COCO dirs.
+
+Capability parity with /root/reference/utils/dataset_lab.py (LabDataset) and
+main/utils_train.py:48-127 (build_dataloader: 'disco' flat folder, 'imagenet'
+filelist, 'coco' dir+'2017'; DDP sharding via DistributedSampler).
+
+TPU-native design: a thread-pooled host loader producing fixed-shape numpy
+batches (drop_last), with per-host sharding by index stride — the
+jax.process_index()-based equivalent of DistributedSampler — and a
+double-buffered prefetcher so decode/convert overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from queue import Queue
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from ..utils import io as io_lib
+
+
+class LabDataset:
+    """Folder or filelist of images -> normalized Lab tensors (HWC numpy)."""
+
+    def __init__(self, rootdir: str | None = None, filelist: Sequence[str] | None = None, resize: int | None = None):
+        if filelist is not None:
+            self.files = list(filelist)
+        else:
+            assert rootdir and os.path.exists(rootdir), f"@dir:'{rootdir}' NOT exist ..."
+            self.files = io_lib.get_filelist(rootdir)
+        self.resize = resize
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> dict:
+        return io_lib.load_image_lab_resized(self.files[idx], self.resize)
+
+
+def load_imagenet_filelist(list_path: str, root_dir: str) -> list[str]:
+    """Read '<relpath> <label>' lines -> absolute paths (inference.py:45-53)."""
+    out = []
+    with open(list_path) as f:
+        for line in f:
+            parts = line.strip().split()
+            if parts:
+                out.append(os.path.join(root_dir, parts[0]))
+    return out
+
+
+def build_dataset(
+    name: str,
+    data_root: str,
+    subset: str = "train",
+    resize: int | None = 256,
+    val_fraction: float = 0.1,
+) -> LabDataset:
+    """Dataset selection mirroring build_dataloader (utils_train.py:48-127).
+
+    'disco': flat folder under data_root/<subset>; 'coco': data_root/<subset>2017;
+    'imagenet': data_root/<subset>_list.txt filelist with images under
+    data_root/<subset> (val subsampled to val_fraction as the reference does).
+    """
+    if name == "disco":
+        return LabDataset(rootdir=os.path.join(data_root, subset), resize=resize)
+    if name == "coco":
+        return LabDataset(rootdir=os.path.join(data_root, subset + "2017"), resize=resize)
+    if name == "imagenet":
+        list_path = os.path.join(data_root, f"{subset}_list.txt")
+        files = load_imagenet_filelist(list_path, os.path.join(data_root, subset))
+        if subset != "train" and val_fraction < 1.0:
+            files = files[:: max(int(1 / val_fraction), 1)]
+        return LabDataset(filelist=files, resize=resize)
+    raise ValueError(f"unknown dataset {name!r}")
+
+
+class DataLoader:
+    """Fixed-shape numpy batch iterator with threaded decode + prefetch.
+
+    Per-host sharding (process_id/num_processes) replaces DistributedSampler
+    (utils_train.py:111-120): host p takes indices p::P after the epoch shuffle.
+    """
+
+    def __init__(
+        self,
+        dataset: LabDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 4,
+        drop_last: bool = True,
+        process_id: int = 0,
+        num_processes: int = 1,
+        prefetch: int = 2,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self.process_id = process_id
+        self.num_processes = num_processes
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        local = len(self.ds) // self.num_processes
+        return local // self.batch_size if self.drop_last else -(-local // self.batch_size)
+
+    def _indices(self):
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx[self.process_id :: self.num_processes]
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = self._indices()
+        nb = len(self)
+        q: Queue = Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(nb):
+                    if stop.is_set():
+                        break
+                    batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                    items = list(pool.map(self.ds.__getitem__, batch_idx))
+                    batch = {
+                        k: np.stack([it[k] for it in items]) for k in items[0]
+                    }
+                    q.put(batch)
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

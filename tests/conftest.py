@@ -76,6 +76,8 @@ def reference_modules():
     _stub_missing_module("skimage.segmentation", mark_boundaries=lambda *a, **k: None)
     _stub_missing_module("matplotlib.pyplot")
     _stub_missing_module("tqdm", tqdm=lambda *a, **k: None)
+    _stub_missing_module("torchvision")
+    _stub_missing_module("torchvision.models")
 
     for p in (ref_root, os.path.join(ref_root, "models"), os.path.join(ref_root, "utils")):
         if p not in sys.path:
@@ -91,4 +93,19 @@ def reference_modules():
 
     basic = importlib.import_module("basic")
     clusterkit = importlib.import_module("clusterkit")
-    return {"torch": torch, "basic": basic, "clusterkit": clusterkit, "cielab": ref_cielab}
+
+    # reference ColorLabel is constructed with a cuda device (model.py:68)
+    _orig_cl_init = basic.ColorLabel.__init__
+
+    def _cpu_cl_init(self, lambda_=0.5, device="cpu"):
+        _orig_cl_init(self, lambda_=lambda_, device="cpu")
+
+    basic.ColorLabel.__init__ = _cpu_cl_init
+    model = importlib.import_module("model")
+    return {
+        "torch": torch,
+        "basic": basic,
+        "clusterkit": clusterkit,
+        "cielab": ref_cielab,
+        "model": model,
+    }
