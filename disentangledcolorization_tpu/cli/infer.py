@@ -1,0 +1,184 @@
+"""Colorizer inference CLI — the north-star path (BASELINE config #1/#3/#4).
+
+Capability parity with /root/reference/main/colorizer/inference.py: same public
+flags (--checkpt --data --name --seed --psize --n_clusters --random_hint
+--no_resize --diverse --hint2regress ...), same padding/resize semantics, PNG
+output through cv2 LAB2RGB. dense_pos and model=AnchorColorProb are forced as
+in the reference (inference.py:165-166); enhanced=True always (inference.py:74).
+
+TPU-native: one jitted graph per (shape-bucket, mode); resize-mode inference is
+batched across images for throughput; no_resize runs per bucket with a jit
+cache keyed on the padded shape.
+
+Usage: python -m disentangledcolorization_tpu.cli.infer --data ./imgs --checkpt ckpt.pkl
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import AnchorColorProb
+from ..ops import colorlabel as cl
+from ..ops import hints as hints_ops
+from ..ops import superpixel as sp
+from ..utils import io as io_lib
+from ..utils.config import inference_argparser
+
+
+def load_variables(checkpt: str, model, example_args, seed: int = 0):
+    """Load model variables from a converted pickle, an Orbax dir, or a raw
+    torch .pth(.tar) (converted on the fly). Falls back to random init."""
+    if checkpt and os.path.exists(checkpt):
+        if checkpt.endswith((".pkl", ".pickle")):
+            with open(checkpt, "rb") as f:
+                return pickle.load(f), True
+        if checkpt.endswith((".pth", ".tar", ".pth.tar")):
+            from ..tools import convert_torch as cvt
+
+            sd = cvt.load_torch_checkpoint(checkpt)
+            return cvt.convert_disco_state_dict(sd, sn_folded=True), True
+        if os.path.isdir(checkpt):
+            from ..train.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(os.path.dirname(checkpt))
+            tag = os.path.basename(checkpt).replace("model_", "")
+            variables = model.init(
+                {"params": jax.random.key(seed), "anchor": jax.random.key(seed + 1)}, *example_args
+            )
+            state, _, _ = mgr.restore(tag, variables)
+            return state, True
+    print("@Warning: no checkpoint loaded — random weights (smoke-test mode)")
+    variables = model.init(
+        {"params": jax.random.key(seed), "anchor": jax.random.key(seed + 1)}, *example_args
+    )
+    return variables, False
+
+
+def build_model(args, sn_folded: bool) -> AnchorColorProb:
+    return AnchorColorProb(
+        sp_size=args.psize,
+        d_model=args.d_model,
+        use_dense_pos=True,  # forced, inference.py:165
+        spix_pos=args.spix_pos,
+        learning_pos=args.learning_pos,
+        n_clusters=args.n_clusters,
+        random_hint=args.random_hint,
+        hint2regress=args.hint2regress,
+        enhanced=True,  # forced, inference.py:74
+        sn_folded=sn_folded,
+    )
+
+
+def main(argv=None):
+    args = inference_argparser().parse_args(argv)
+    args.dense_pos = True
+    args.model = "AnchorColorProb"
+    print(f"@Inference: [AnchorColorProb] (spixel-size={args.psize})")
+
+    sampled_T = 2 if args.diverse else 0
+    save_dir = os.path.join(args.save_dir if hasattr(args, "save_dir") else ".", f"{args.name}-anchor{args.n_clusters}")
+    os.makedirs(save_dir, exist_ok=True)
+    img_list = io_lib.get_filelist(args.data)
+    print(f"-data dir ({len(img_list)} images): {args.data}")
+    print(f"-saving dir: {save_dir}")
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    h0 = w0 = 256
+    example = (
+        jnp.zeros((1, h0, w0, 1), jnp.float32),
+        jnp.zeros((1, h0, w0, 2), jnp.float32),
+        True,
+        sampled_T,
+        False,
+    )
+    model = build_model(args, sn_folded=True)
+    variables, loaded = load_variables(args.checkpt, model, example, args.seed)
+    if args.checkpt:
+        print("-weight loaded successfully." if loaded else "-weight load FAILED.")
+
+    @functools.partial(jax.jit, static_argnames=())
+    def forward(variables, grays, colors, key):
+        out = model.apply(
+            variables, grays, colors, True, sampled_T, False, rngs={"anchor": key}
+        )
+        # guided (pre-enhancement) colors, for parity with inference.py:111-115
+        if args.hint2regress:
+            guided = out["ref_logit"]
+        else:
+            guided = cl.decode_ind2ab(out["ref_logit"], T=0)
+        guided_full = sp.upfeat(guided, out["affinity_map"], args.psize, args.psize)
+        return out["pred_colors"], guided_full, out["hint_mask"], out["affinity_map"]
+
+    key = jax.random.key(args.seed)
+    t_start = time.time()
+    n_done = 0
+
+    def process_batch(grays_np, colors_np, names, orig_sizes):
+        nonlocal key, n_done
+        key, sub = jax.random.split(key)
+        grays = jnp.asarray(grays_np)
+        colors = jnp.asarray(colors_np)
+        pred_ab, guided, hint_mask, affinity = forward(variables, grays, colors, sub)
+        pred_ab = np.asarray(pred_ab, np.float32)
+        nb = grays_np.shape[0]
+        for i in range(nb):
+            if names[i] is None:  # batch-padding tail
+                continue
+            h, w = orig_sizes[i] if orig_sizes[i] is not None else grays_np.shape[1:3]
+            if args.diverse:
+                for no in range(3):
+                    lab = np.concatenate([grays_np[i], pred_ab[no * nb + i]], axis=-1)[None]
+                    if args.no_resize:
+                        lab = lab[:, :h, :w]
+                    io_lib.save_normLabs_from_batch(lab, save_dir, [names[i]], -1, suffix=f"c{no}")
+            else:
+                lab = np.concatenate([grays_np[i], pred_ab[i]], axis=-1)[None]
+                if args.no_resize:
+                    lab = lab[:, :h, :w]
+                io_lib.save_normLabs_from_batch(lab, save_dir, [names[i]], -1)
+                if args.save_anchors:
+                    masks = sp.upfeat(hint_mask[i : i + 1], affinity[i : i + 1], args.psize, args.psize)
+                    marked = hints_ops.mark_color_hints(
+                        grays[i : i + 1], pred_ab[i : i + 1], masks, base_abs=pred_ab[i : i + 1]
+                    )
+                    marked = np.asarray(marked)
+                    if args.no_resize:
+                        marked = marked[:, :h, :w]
+                    io_lib.save_normLabs_from_batch(marked, save_dir, [names[i]], -1, suffix="anchors")
+            n_done += 1
+
+    if args.no_resize:
+        # arbitrary resolutions: per-image, jit cache per padded shape bucket
+        for pth in img_list:
+            name = os.path.splitext(os.path.basename(pth))[0] + ".png"
+            print(f"-processing {os.path.basename(pth)} ...")
+            gray, ab, _, (h, w) = io_lib.fetch_image_lab(pth, no_resize=True, scale=args.psize)
+            process_batch(gray[None], ab[None], [name], [(h, w)])
+    else:
+        bs = max(args.batch_size, 1)
+        for s in range(0, len(img_list), bs):
+            chunk = img_list[s : s + bs]
+            grays, colors, names, sizes = [], [], [], []
+            for pth in chunk:
+                g, ab, _, hw = io_lib.fetch_image_lab(pth, no_resize=False)
+                grays.append(g)
+                colors.append(ab)
+                names.append(os.path.splitext(os.path.basename(pth))[0] + ".png")
+                sizes.append(hw)
+            pad = bs - len(chunk)
+            gb = np.stack(grays + [grays[-1]] * pad)
+            cb = np.stack(colors + [colors[-1]] * pad)
+            process_batch(gb, cb, names + [None] * pad, sizes + [None] * pad)
+
+    print(f"-processed {n_done} imgs. consumed {time.time() - t_start:.3f} sec")
+
+
+if __name__ == "__main__":
+    main()

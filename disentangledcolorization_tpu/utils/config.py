@@ -1,0 +1,89 @@
+"""CLI flag system, preserving the reference's public flag names.
+
+Capability parity with /root/reference/main/utils_argument.py:5-87
+(spixel_argparser / pcolor_argparser + ddp variants). Distributed flags map to
+jax.distributed concepts: --num_processes/--process_id/--coordinator replace
+--local_rank/NCCL env bootstrap.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def _add_common(parser: argparse.ArgumentParser):
+    parser.add_argument("--seed", default=130, type=int, help="random seed")
+    parser.add_argument("--data", type=str, default="./data", help="dataset root or image dir")
+    parser.add_argument("--dataset", type=str, default="disco", choices=["disco", "imagenet", "coco"])
+    parser.add_argument("--save_dir", type=str, default="./runs", help="output root")
+    parser.add_argument("--name", type=str, default="test", help="run / save dir name")
+    parser.add_argument("--batch_size", default=16, type=int)
+    parser.add_argument("--epochs", default=60, type=int)
+    parser.add_argument("--lr", default=2e-4, type=float)
+    parser.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
+    parser.add_argument("--scheduler", default="poly", choices=["poly", "cosine", "plateau"])
+    parser.add_argument("--lr_decay_ratio", default=1.0, type=float)
+    parser.add_argument("--resume", action="store_true", default=False)
+    parser.add_argument("--checkpt", type=str, default="", help="checkpoint path")
+    parser.add_argument("--input_size", default=256, type=int)
+    parser.add_argument("--num_workers", default=4, type=int)
+    parser.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+    # distributed (jax.distributed replaces torch.distributed.launch)
+    parser.add_argument("--coordinator", type=str, default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--deterministic", action="store_true", default=False)
+
+
+def spixel_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("disco-tpu spixel trainer")
+    _add_common(p)
+    p.add_argument("--psize", default=16, type=int, help="superpixel size")
+    p.add_argument("--feat", default="ab", choices=["ab", "bgr"], help="reconstruction feature")
+    return p
+
+
+def pcolor_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("disco-tpu colorizer trainer")
+    _add_common(p)
+    p.add_argument("--psize", default=16, type=int)
+    p.add_argument("--d_model", default=64, type=int)
+    p.add_argument("--n_enc", default=6, type=int)
+    p.add_argument("--n_dec", default=6, type=int)
+    p.add_argument("--dense_pos", action="store_true", default=True)
+    p.add_argument("--spix_pos", action="store_true", default=False)
+    p.add_argument("--learning_pos", action="store_true", default=False)
+    p.add_argument("--hint2regress", action="store_true", default=False)
+    p.add_argument("--enhanced", action="store_true", default=False)
+    p.add_argument("--in_gradient", action="store_true", default=False)
+    p.add_argument("--n_clusters", default=8, type=int)
+    p.add_argument("--random_hint", action="store_true", default=False)
+    p.add_argument("--spixel_ckpt", type=str, default="", help="frozen SpixelNet checkpoint")
+    p.add_argument("--vgg_npz", type=str, default="", help="converted VGG19 weights for the perceptual loss")
+    return p
+
+
+def inference_argparser() -> argparse.ArgumentParser:
+    """Flags of main/colorizer/inference.py:144-162 (names preserved)."""
+    p = argparse.ArgumentParser("disco-tpu inference")
+    p.add_argument("--name", type=str, default="test", help="save dir name")
+    p.add_argument("--seed", default=130, type=int)
+    p.add_argument("--psize", default=16, type=int)
+    p.add_argument("--data", type=str, default="./data")
+    p.add_argument("--model", type=str, default="AnchorColorProb")
+    p.add_argument("--checkpt", type=str, default="")
+    p.add_argument("--n_enc", default=6, type=int)
+    p.add_argument("--n_dec", default=6, type=int)
+    p.add_argument("--d_model", default=64, type=int)
+    p.add_argument("--dense_pos", action="store_true", default=False)
+    p.add_argument("--spix_pos", action="store_true", default=False)
+    p.add_argument("--learning_pos", action="store_true", default=False)
+    p.add_argument("--hint2regress", action="store_true", default=False)
+    p.add_argument("--n_clusters", default=8, type=int)
+    p.add_argument("--random_hint", action="store_true", default=False)
+    p.add_argument("--no_resize", action="store_true", default=False)
+    p.add_argument("--diverse", action="store_true", default=False)
+    p.add_argument("--batch_size", default=8, type=int, help="TPU batch (resize mode)")
+    p.add_argument("--save_anchors", action="store_true", default=False)
+    p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+    return p
