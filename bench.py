@@ -2,11 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Timing methodology: under the axon TPU tunnel, ``block_until_ready`` returns
+before remote execution finishes, so a naive timer measures dispatch, not
+compute. The benchmark therefore (a) chains ITERS forwards inside one jitted
+``lax.scan`` (fresh anchor key per iteration, output folded into the carry so
+nothing is dead-code-eliminated), (b) forces completion with a scalar
+device-to-host transfer, and (c) subtracts the measured single-call round-trip
+overhead to isolate device throughput.
+
 Baseline (vs_baseline denominator): the PyTorch reference running the same
-AnchorColorProb forward (enhanced, 8 anchors, 256x256) on CPU. The reference
-publishes no throughput numbers (SURVEY.md section 6), so the baseline was
-measured once in this container with torch 2.x CPU via tools/bench_torch_ref.py
-and is pinned below. BASELINE.json's north star is >=10x that number.
+workload on CPU (tools/bench_torch_ref.py, this host: 0.32 images/sec).
+The reference repo publishes no throughput numbers (SURVEY.md section 6).
 """
 
 from __future__ import annotations
@@ -18,15 +24,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# PyTorch-CPU reference throughput measured with tools/bench_torch_ref.py
-# (batch=4, 256x256, AnchorColorProb enhanced + kmeans anchors, this 1-core host:
-# 0.32 images/sec).
 TORCH_CPU_BASELINE_IMG_PER_S = 0.32
 
 BATCH = 8
 H = W = 256
-WARMUP = 2
-ITERS = 10
+ITERS = 16
+
+
+def _timed(fn, *args, repeat=3):
+    best = float("inf")
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        float(fn(*args))  # scalar host transfer = true sync
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
@@ -40,20 +51,30 @@ def main():
         {"params": jax.random.key(0), "anchor": jax.random.key(1)}, grays, colors, True, 0, False
     )
 
-    @jax.jit
-    def forward(variables, grays, colors, key):
+    def one_forward(key):
         out = model.apply(variables, grays, colors, True, 0, False, rngs={"anchor": key})
         return out["pred_colors"]
 
-    key = jax.random.key(2)
-    for _ in range(WARMUP):
-        forward(variables, grays, colors, key).block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        out = forward(variables, grays, colors, jax.random.fold_in(key, i))
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    img_per_s = BATCH * ITERS / dt
+    def chained(k):
+        @jax.jit
+        def f(key0):
+            def body(carry, i):
+                key = jax.random.fold_in(key0, i)
+                pred = one_forward(key)
+                # fold result into carry so every iteration is live
+                return carry + pred.mean(), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(k))
+            return acc
+        return f
+
+    f1 = chained(1)
+    fN = chained(ITERS + 1)
+    f1(jax.random.key(2))
+    fN(jax.random.key(2))  # compile
+    d1 = _timed(f1, jax.random.key(3))
+    dN = _timed(fN, jax.random.key(3))
+    per_forward = max((dN - d1) / ITERS, 1e-9)
+    img_per_s = BATCH / per_forward
     print(
         json.dumps(
             {
