@@ -57,6 +57,7 @@ class AnchorColorProb(nn.Module):
     nhead: int = 8
     dropout: float = 0.1
     sn_folded: bool = False
+    compute_dtype: Any = jnp.float32  # bf16 runs the conv nets in bfloat16
 
     @nn.compact
     def __call__(
@@ -93,13 +94,15 @@ class AnchorColorProb(nn.Module):
         spn = self.sp_size
         hc, wc = h // spn, w // spn
         d = self.d_model
+        cdt = self.compute_dtype
+        grays_c = input_grays.astype(cdt)
 
         # frozen superpixel net: always eval-mode, gradients cut (model.py:78-87)
-        affinity_map = SpixelSeg(batch_norm=True, train=False, name="segnet")(input_grays)
-        affinity_map = jax.lax.stop_gradient(affinity_map)
+        affinity_map = SpixelSeg(batch_norm=True, train=False, name="segnet")(grays_c)
+        affinity_map = jax.lax.stop_gradient(affinity_map).astype(jnp.float32)
         pred_feats = ColorProbNet(
             out_channels=d, train=train, sn_folded=self.sn_folded, name="repnet"
-        )(input_grays)
+        )(grays_c).astype(jnp.float32)
 
         if self.spix_pos:
             # full-resolution (x, y)-aware positions pooled with the features
@@ -219,9 +222,9 @@ class AnchorColorProb(nn.Module):
 
         pred_colors = None
         if self.enhanced:
-            proc_feats = dec_out.reshape(n, hc, wc, d)
-            full_feats = sp.upfeat(proc_feats, affinity_map, spn, spn)
-            enh_in = jnp.concatenate([input_grays, full_feats], axis=-1)
+            proc_feats = dec_out.reshape(n, hc, wc, d).astype(cdt)
+            full_feats = sp.upfeat(proc_feats, affinity_map.astype(cdt), spn, spn)
+            enh_in = jnp.concatenate([input_grays.astype(cdt), full_feats], axis=-1)
             pred_colors = HourGlass2(
                 out_channels=2,
                 res_num=3,
@@ -230,7 +233,7 @@ class AnchorColorProb(nn.Module):
                 sn_folded=self.sn_folded,
                 name="enhanceNet",
             )(enh_in)
-            pred_colors = jnp.tanh(pred_colors)
+            pred_colors = jnp.tanh(pred_colors.astype(jnp.float32))
 
         return {
             "pal_logit": pal_logit,

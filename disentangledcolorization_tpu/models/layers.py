@@ -53,7 +53,8 @@ class Conv(nn.Module):
             strides=_pair(self.stride),
             padding=((p, p), (p, p)),
             use_bias=self.use_bias,
-            dtype=self.dtype,
+            # follow the activation dtype (bf16 activations w/ f32 params)
+            dtype=self.dtype or x.dtype,
             name="conv",
         )(x)
 
@@ -187,13 +188,16 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.BatchNorm(
+        # statistics always in float32 (bf16 accumulation over N*H*W would
+        # drift); output cast back to the activation dtype
+        y = nn.BatchNorm(
             use_running_average=self.use_running_average,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=x.dtype,
+            dtype=jnp.float32,
             name="bn",
-        )(x)
+        )(x.astype(jnp.float32))
+        return y.astype(x.dtype)
 
 
 class ConvBlock(nn.Module):

@@ -35,6 +35,7 @@ class _ConvUnit(nn.Module):
             padding=((1, 1), (1, 1)),
             use_bias=not self.batch_norm,
             kernel_init=_kaiming,
+            dtype=x.dtype,
             name="conv",
         )(x)
         if self.batch_norm:
