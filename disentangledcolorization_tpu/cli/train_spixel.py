@@ -86,11 +86,13 @@ def main(argv=None):
     @jax.jit
     def eval_step(variables, batch):
         prob = eval_model.apply(variables, batch["gray"])
-        labxy = jnp.concatenate([batch["color"], batch["coord"]], axis=-1)
+        labxy = jnp.concatenate([batch["feat"], batch["coord"]], axis=-1)
         return spixel_loss(prob, labxy, args.psize), prob
 
     def add_coord(batch):
         n = batch["gray"].shape[0]
+        # reconstruction feature: ab chroma or BGR pixels (--feat, utils_argument.py)
+        batch["feat"] = batch["color"] if args.feat == "ab" else batch["BGR"]
         batch["coord"] = np.broadcast_to(coord_np[None], (n,) + coord_np.shape).copy()
         return batch
 

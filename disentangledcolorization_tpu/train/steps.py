@@ -21,9 +21,10 @@ from .state import TrainState
 
 
 def make_spixel_train_step(model, kernel_size: int = 16):
-    """SpixelNet pretraining step. Batch: {'gray': (N,H,W,1), 'color': (N,H,W,2),
-    'coord': (N,H,W,2)} where coord is the static (x, y) grid / pack_meta_data
-    equivalent (train_spixel.py:237-248)."""
+    """SpixelNet pretraining step. Batch: {'gray': (N,H,W,1), 'feat': (N,H,W,F),
+    'coord': (N,H,W,2)} where feat is the reconstruction feature (ab or BGR,
+    --feat flag) and coord the static (x, y) grid / pack_meta_data equivalent
+    (train_spixel.py:237-248)."""
 
     def step(state: TrainState, batch: dict, dropout_key):
         def loss_fn(params):
@@ -31,7 +32,7 @@ def make_spixel_train_step(model, kernel_size: int = 16):
             prob, mutated = model.apply(
                 variables, batch["gray"], mutable=["batch_stats"]
             )
-            labxy = jnp.concatenate([batch["color"], batch["coord"]], axis=-1)
+            labxy = jnp.concatenate([batch["feat"], batch["coord"]], axis=-1)
             metrics = losses_lib.spixel_loss(prob, labxy, kernel_size)
             return metrics["totalLoss"], (metrics, mutated)
 
