@@ -83,6 +83,7 @@ def main(argv=None):
         hint2regress=args.hint2regress,
         enhanced=args.enhanced,
         n_enc_layers=args.n_enc,
+        d_mlp=args.d_mlp,
     )
     example_g = jnp.zeros((1, args.input_size, args.input_size, 1), jnp.float32)
     example_c = jnp.zeros((1, args.input_size, args.input_size, 2), jnp.float32)
@@ -115,7 +116,7 @@ def main(argv=None):
 
     steps_per_epoch = max(len(train_loader), 1)
     schedule = optim.build_schedule(args.scheduler, args.lr, args.epochs, steps_per_epoch, args.lr_decay_ratio)
-    tx = optim.build_optimizer(args.optimizer, schedule)
+    tx = optim.build_optimizer(args.optimizer, schedule, weight_decay=args.wd)
     state = TrainState.create(variables, tx, trainable_mask=segnet_frozen_mask(variables["params"]))
     mgr = CheckpointManager(os.path.join(run_dir, "checkpts"))
     start_epoch, best_loss = 0, float("inf")
@@ -135,6 +136,7 @@ def main(argv=None):
         enhanced=args.enhanced,
         with_grad=args.in_gradient,
         vgg_variables=vgg_vars,
+        feat_type=args.vgg_type,
     )
     state = replicate(mesh, state)
     train_step = steps.make_colorizer_train_step(model, loss_bundle)
@@ -168,6 +170,8 @@ def main(argv=None):
                     writer_t.scalar(f"train/{k}", v / max(n_steps, 1), epoch)
 
             # validation (+ intermediate image dumps, train_colorizer.py:215-243)
+            if (epoch + 1) % args.eval_freq != 0 and epoch + 1 != args.epochs:
+                continue
             val_loss, vn = 0.0, 0
             for it, batch in enumerate(val_loader):
                 b = shard_batch(mesh, {"gray": batch["gray"], "color": batch["color"]})

@@ -68,7 +68,7 @@ def main(argv=None):
 
     steps_per_epoch = max(len(train_loader), 1)
     schedule = optim.build_schedule(args.scheduler, args.lr, args.epochs, steps_per_epoch, args.lr_decay_ratio)
-    tx = optim.build_optimizer(args.optimizer, schedule)
+    tx = optim.build_optimizer(args.optimizer, schedule, weight_decay=args.wd)
     state = TrainState.create(variables, tx)
     mgr = CheckpointManager(os.path.join(run_dir, "checkpts"))
     start_epoch, best_loss = 0, float("inf")

@@ -54,6 +54,7 @@ class AnchorColorProb(nn.Module):
     enhanced: bool = True
     use_mask: bool = False
     n_enc_layers: int = 6
+    d_mlp: int = 256  # transformer feedforward dim (reference hardcodes 4*d_model)
     nhead: int = 8
     dropout: float = 0.1
     sn_folded: bool = False
@@ -144,7 +145,7 @@ class AnchorColorProb(nn.Module):
             self.n_enc_layers,
             d,
             self.nhead,
-            4 * d,
+            self.d_mlp,
             self.dropout,
             self.use_dense_pos,
             name="wildpath",
@@ -211,7 +212,7 @@ class AnchorColorProb(nn.Module):
             self.n_enc_layers,
             d,
             self.nhead,
-            4 * d,
+            self.d_mlp,
             self.dropout,
             self.use_dense_pos,
             name="hintpath",

@@ -21,6 +21,8 @@ def _add_common(parser: argparse.ArgumentParser):
     parser.add_argument("--epochs", default=60, type=int)
     parser.add_argument("--lr", default=2e-4, type=float)
     parser.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
+    parser.add_argument("--wd", default=0.0, type=float, help="weight decay")
+    parser.add_argument("--eval_freq", default=1, type=int, help="validate every N epochs")
     parser.add_argument("--scheduler", default="poly", choices=["poly", "cosine", "plateau"])
     parser.add_argument("--lr_decay_ratio", default=1.0, type=float)
     parser.add_argument("--resume", action="store_true", default=False)
@@ -56,6 +58,8 @@ def pcolor_argparser() -> argparse.ArgumentParser:
     p.add_argument("--hint2regress", action="store_true", default=False)
     p.add_argument("--enhanced", action="store_true", default=False)
     p.add_argument("--in_gradient", action="store_true", default=False)
+    p.add_argument("--vgg_type", default="liu", choices=["liu", "lei"], help="perceptual feature slices")
+    p.add_argument("--d_mlp", default=256, type=int, help="transformer feedforward dim")
     p.add_argument("--n_clusters", default=8, type=int)
     p.add_argument("--random_hint", action="store_true", default=False)
     p.add_argument("--spixel_ckpt", type=str, default="", help="frozen SpixelNet checkpoint")
