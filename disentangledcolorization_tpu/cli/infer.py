@@ -73,6 +73,7 @@ def build_model(args, sn_folded: bool) -> AnchorColorProb:
         hint2regress=args.hint2regress,
         enhanced=True,  # forced, inference.py:74
         sn_folded=sn_folded,
+        compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32,
     )
 
 
@@ -89,7 +90,6 @@ def main(argv=None):
     print(f"-data dir ({len(img_list)} images): {args.data}")
     print(f"-saving dir: {save_dir}")
 
-    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     h0 = w0 = 256
     example = (
         jnp.zeros((1, h0, w0, 1), jnp.float32),
@@ -156,10 +156,12 @@ def main(argv=None):
 
     if args.no_resize:
         # arbitrary resolutions: per-image, jit cache per padded shape bucket
+        # (--bucket > 16 pads further to reduce distinct compiled shapes)
+        bucket = max(args.bucket, args.psize)
         for pth in img_list:
             name = os.path.splitext(os.path.basename(pth))[0] + ".png"
             print(f"-processing {os.path.basename(pth)} ...")
-            gray, ab, _, (h, w) = io_lib.fetch_image_lab(pth, no_resize=True, scale=args.psize)
+            gray, ab, _, (h, w) = io_lib.fetch_image_lab(pth, no_resize=True, scale=bucket)
             process_batch(gray[None], ab[None], [name], [(h, w)])
     else:
         bs = max(args.batch_size, 1)

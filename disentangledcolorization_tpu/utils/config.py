@@ -90,4 +90,9 @@ def inference_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", default=8, type=int, help="TPU batch (resize mode)")
     p.add_argument("--save_anchors", action="store_true", default=False)
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument(
+        "--bucket", default=16, type=int,
+        help="no_resize: pad H,W up to multiples of this (16 = exact reference "
+        "semantics; 64/128 trade extra edge padding for far fewer jit recompiles)",
+    )
     return p
