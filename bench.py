@@ -43,7 +43,11 @@ def _timed(fn, *args, repeat=3):
 def main():
     from disentangledcolorization_tpu.models import AnchorColorProb
 
-    model = AnchorColorProb(sp_size=16, n_clusters=8, enhanced=True)
+    # production inference config: folded spectral norm (converted weights) +
+    # bf16 conv activations (f32 params/stats/token-path)
+    model = AnchorColorProb(
+        sp_size=16, n_clusters=8, enhanced=True, sn_folded=True, compute_dtype=jnp.bfloat16
+    )
     rng = np.random.default_rng(0)
     grays = jnp.asarray(rng.uniform(-1, 1, (BATCH, H, W, 1)).astype(np.float32))
     colors = jnp.zeros((BATCH, H, W, 2), jnp.float32)

@@ -188,10 +188,22 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # statistics always in float32 (bf16 accumulation over N*H*W would
-        # drift); output cast back to the activation dtype
+        if self.use_running_average:
+            # inference fast path: fold running stats + affine into one
+            # per-channel scale/shift computed in f32 (tiny), applied in the
+            # activation dtype — no full-tensor f32 cast round-trip.
+            c = x.shape[-1]
+            bn = self.scope.push("bn")  # same param/stat paths as nn.BatchNorm
+            scale = bn.param("scale", nn.initializers.ones, (c,), jnp.float32)
+            bias = bn.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+            mean = bn.variable("batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (c,)).value
+            var = bn.variable("batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (c,)).value
+            a = (scale * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
+            b = (bias - mean * scale * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
+            return x * a + b
+        # training: statistics in float32 (bf16 accumulation over N*H*W drifts)
         y = nn.BatchNorm(
-            use_running_average=self.use_running_average,
+            use_running_average=False,
             momentum=0.9,
             epsilon=1e-5,
             dtype=jnp.float32,
