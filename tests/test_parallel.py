@@ -36,7 +36,7 @@ def test_dp_step_matches_single_device():
     _, coord = sp.init_spixel_grid(h, w, 16)
     batch = {
         "gray": jnp.asarray(gray),
-        "color": jnp.asarray(color),
+        "feat": jnp.asarray(color),
         "coord": jnp.broadcast_to(coord[None], (n, h, w, 2)),
     }
     variables = model.init(jax.random.key(0), batch["gray"])
