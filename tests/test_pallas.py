@@ -49,3 +49,33 @@ def test_pallas_upfeat_rect():
     ref = sp.upfeat(jnp.asarray(tok), jnp.asarray(prob), 16, 16)
     out = psp.upfeat(jnp.asarray(tok), jnp.asarray(prob), 16, 16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_encode_matches_jnp():
+    from disentangledcolorization_tpu.ops import colorlabel as cl
+    from disentangledcolorization_tpu.ops import pallas_colorlabel as pcl
+
+    rng = np.random.default_rng(5)
+    ab = jnp.asarray(rng.uniform(-0.5, 0.5, size=(2, 5, 7, 2)).astype(np.float32))
+    ref = cl.encode_ab2ind(ab)
+    out = pcl.encode_ab2ind(ab)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_attention_matches_softmax():
+    from disentangledcolorization_tpu.ops import pallas_attention as pattn
+
+    rng = np.random.default_rng(6)
+    n, t, d, h = 2, 16, 64, 8
+    q = jnp.asarray(rng.normal(size=(n, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(n, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(n, t, d)).astype(np.float32))
+    out = pattn.fused_attention(q, k, v, nhead=h)
+    hd = d // h
+    qh = q.reshape(n, t, h, hd)
+    kh = k.reshape(n, t, h, hd)
+    vh = v.reshape(n, t, h, hd)
+    logits = jnp.einsum("nqhd,nkhd->nhqk", qh / np.sqrt(hd), kh)
+    attn = jax.nn.softmax(logits, axis=-1)
+    ref = jnp.einsum("nhqk,nkhd->nqhd", attn, vh).reshape(n, t, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
