@@ -116,6 +116,17 @@ def main(argv=None):
         guided_full = sp.upfeat(guided, out["affinity_map"], args.psize, args.psize)
         return out["pred_colors"], guided_full, out["hint_mask"], out["affinity_map"]
 
+    # multi-chip: shard the image batch over all local devices (DP inference);
+    # XLA partitions the whole graph, k-means and all (each image independent)
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1 and not args.no_resize and args.batch_size % n_dev == 0:
+        from ..parallel import make_mesh, batch_sharding
+
+        mesh = make_mesh()
+        data_sharding = batch_sharding(mesh)
+        print(f"-data-parallel inference over {n_dev} devices")
+
     key = jax.random.key(args.seed)
     t_start = time.time()
     n_done = 0
@@ -125,6 +136,9 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         grays = jnp.asarray(grays_np)
         colors = jnp.asarray(colors_np)
+        if mesh is not None:
+            grays = jax.device_put(grays, data_sharding)
+            colors = jax.device_put(colors, data_sharding)
         pred_ab, guided, hint_mask, affinity = forward(variables, grays, colors, sub)
         pred_ab = np.asarray(pred_ab, np.float32)
         nb = grays_np.shape[0]
