@@ -226,6 +226,14 @@ def _dump_val_images(model, state, batch, run_dir, epoch, args, max_n: int = 4):
             epoch,
             suffix="enhanced",
         )
+    # anchor-location panel (train_colorizer.py:236 equivalent)
+    from ..ops import hints as hints_ops
+
+    anchor_masks = sp.upfeat(out["hint_mask"], out["affinity_map"], args.psize, args.psize)
+    marked = hints_ops.mark_color_hints(
+        jnp.asarray(grays), ref_full, anchor_masks, base_abs=ref_full
+    )
+    io_lib.save_normLabs_from_batch(np.asarray(marked), dump_dir, [], epoch, suffix="hints")
 
 
 if __name__ == "__main__":
