@@ -130,6 +130,7 @@ def main(argv=None):
     key = jax.random.key(args.seed)
     t_start = time.time()
     n_done = 0
+    from ..utils.logging import profiler_trace
 
     def process_batch(grays_np, colors_np, names, orig_sizes):
         nonlocal key, n_done
@@ -168,6 +169,8 @@ def main(argv=None):
                     io_lib.save_normLabs_from_batch(marked, save_dir, [names[i]], -1, suffix="anchors")
             n_done += 1
 
+    trace_ctx = profiler_trace(args.trace_dir or None)
+    trace_ctx.__enter__()
     if args.no_resize:
         # arbitrary resolutions: per-image, jit cache per padded shape bucket
         # (--bucket > 16 pads further to reduce distinct compiled shapes)
@@ -193,6 +196,7 @@ def main(argv=None):
             cb = np.stack(colors + [colors[-1]] * pad)
             process_batch(gb, cb, names + [None] * pad, sizes + [None] * pad)
 
+    trace_ctx.__exit__(None, None, None)
     print(f"-processed {n_done} imgs. consumed {time.time() - t_start:.3f} sec")
 
 

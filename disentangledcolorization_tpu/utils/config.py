@@ -34,7 +34,10 @@ def _add_common(parser: argparse.ArgumentParser):
     parser.add_argument("--coordinator", type=str, default=None)
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
-    parser.add_argument("--deterministic", action="store_true", default=False)
+    parser.add_argument("--deterministic", action="store_true", default=False,
+                        help="parity flag: XLA is deterministic by default (no cudnn analog)")
+    parser.add_argument("--trace_dir", type=str, default="",
+                        help="write a jax.profiler trace here (view in TensorBoard)")
 
 
 def spixel_argparser() -> argparse.ArgumentParser:
@@ -90,6 +93,7 @@ def inference_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", default=8, type=int, help="TPU batch (resize mode)")
     p.add_argument("--save_anchors", action="store_true", default=False)
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--trace_dir", type=str, default="", help="jax.profiler trace output dir")
     p.add_argument(
         "--bucket", default=16, type=int,
         help="no_resize: pad H,W up to multiples of this (16 = exact reference "
