@@ -1,0 +1,68 @@
+"""CLI end-to-end tests (CPU, tiny inputs): inference main() in all modes."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_imgs(tmp_path_factory):
+    import cv2
+
+    d = tmp_path_factory.mktemp("tiny")
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        img = rng.uniform(0, 255, (48, 40, 3)).astype(np.uint8)
+        cv2.imwrite(str(d / f"im{i}.jpg"), img)
+    return str(d)
+
+
+def _run_infer(tmp_path, tiny_imgs, extra):
+    from disentangledcolorization_tpu.cli import infer
+
+    out = str(tmp_path / "out")
+    argv = [
+        "--data", tiny_imgs, "--name", out, "--seed", "7",
+        "--n_clusters", "2", "--batch_size", "2",
+    ] + extra
+    cwd = os.getcwd()
+    infer.main(argv)
+    return f"{out}-anchor2"
+
+
+def test_infer_cli_resize_mode(tmp_path, tiny_imgs, monkeypatch):
+    # shrink the compile: resize path uses 256x256; patch fetch to 64
+    from disentangledcolorization_tpu.utils import io as io_lib
+
+    orig = io_lib.fetch_image_lab
+    monkeypatch.setattr(
+        io_lib, "fetch_image_lab",
+        lambda p, no_resize=True, scale=16, resize_to=256: orig(p, no_resize, scale, 64),
+    )
+    d = _run_infer(tmp_path, tiny_imgs, [])
+    files = sorted(os.listdir(d))
+    assert files == ["im0.png", "im1.png"]
+
+
+def test_infer_cli_no_resize_and_diverse(tmp_path, tiny_imgs):
+    d = _run_infer(tmp_path, tiny_imgs, ["--no_resize", "--diverse", "--bucket", "16"])
+    files = sorted(os.listdir(d))
+    assert files == [
+        "im0-c0.png", "im0-c1.png", "im0-c2.png",
+        "im1-c0.png", "im1-c1.png", "im1-c2.png",
+    ]
+    # original (non-padded) sizes restored
+    import cv2
+
+    img = cv2.imread(os.path.join(d, "im0-c0.png"))
+    assert img.shape[:2] == (48, 40)
+
+
+def test_infer_spixel_cli(tmp_path, tiny_imgs, monkeypatch):
+    from disentangledcolorization_tpu.cli import infer_spixel
+
+    os.chdir(tmp_path)
+    infer_spixel.main(["--data", tiny_imgs, "--name", "sp", "--input_size", "32"])
+    files = sorted(os.listdir(tmp_path / "sp-s16"))
+    assert "im0-spix.png" in files and "im0-recon.png" in files
