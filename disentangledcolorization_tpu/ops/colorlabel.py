@@ -30,11 +30,15 @@ def class_rebalance_weights(lambda_: float = 0.5) -> jnp.ndarray:
 
 
 def _sq_dist_to_bins(ab_flat: jnp.ndarray, bins: jnp.ndarray) -> jnp.ndarray:
-    """Squared euclidean distance (m, 313) from (m, 2) ab points to bin centers."""
-    # |x|^2 - 2 x.q + |q|^2 : one small matmul instead of a broadcasted cdist
-    x2 = jnp.sum(ab_flat * ab_flat, axis=-1, keepdims=True)
-    q2 = jnp.sum(bins * bins, axis=-1)
-    return x2 - 2.0 * (ab_flat @ bins.T) + q2[None, :]
+    """Squared euclidean distance (m, 313) from (m, 2) ab points to bin centers.
+
+    Elementwise on purpose: a matmul form would run the ~1e2-magnitude
+    ab x bins products through the TPU MXU's default bf16 path and scramble
+    the nearest-neighbor ordering (~+-50 absolute distance error).
+    """
+    da = ab_flat[:, 0:1] - bins[None, :, 0]
+    db = ab_flat[:, 1:2] - bins[None, :, 1]
+    return da * da + db * db
 
 
 def encode_ab2ind(batch_ab: jnp.ndarray, neighbours: int = 5, sigma: float = 5.0) -> jnp.ndarray:
@@ -53,7 +57,7 @@ def encode_ab2ind(batch_ab: jnp.ndarray, neighbours: int = 5, sigma: float = 5.0
     gauss = gauss / jnp.sum(gauss, axis=-1, keepdims=True)
     # scatter as one-hot contraction: (m, k, 313) x (m, k) -> (m, 313)
     onehot = jax.nn.one_hot(idx, NUM_BINS, dtype=jnp.float32)
-    q = jnp.einsum("mk,mkb->mb", gauss, onehot)
+    q = jnp.einsum("mk,mkb->mb", gauss, onehot, precision="highest")
     return q.reshape(n, h, w, NUM_BINS)
 
 
@@ -88,7 +92,8 @@ def decode_ind2ab(batch_q: jnp.ndarray, T: float = 0.38) -> jnp.ndarray:
     else:
         q = jnp.exp(probs / T)
         q = q / jnp.sum(q, axis=-1, keepdims=True)
-        ab = q @ bins
+        # full-precision expectation: bin centers are ~1e2 in magnitude
+        ab = jnp.einsum("...k,kc->...c", q, bins, precision="highest")
     return (ab / _cielab.AB_NORM).astype(batch_q.dtype)
 
 

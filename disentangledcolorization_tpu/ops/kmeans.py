@@ -24,10 +24,11 @@ import jax.numpy as jnp
 
 
 def _pairwise_sq_dist(x: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
-    """(M, C), (K, C) -> (M, K) squared euclidean distances."""
+    """(M, C), (K, C) -> (M, K) squared euclidean distances (full precision:
+    TPU default-bf16 matmuls would perturb assignment boundaries)."""
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)
     c2 = jnp.sum(centers * centers, axis=-1)
-    return x2 - 2.0 * (x @ centers.T) + c2[None, :]
+    return x2 - 2.0 * jnp.einsum("mc,kc->mk", x, centers, precision="highest") + c2[None, :]
 
 
 def _pairwise_cosine_dist(x: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
@@ -86,7 +87,7 @@ def kmeans(
         assign = jnp.argmin(d, axis=-1)
         onehot = jax.nn.one_hot(assign, num_clusters, dtype=jnp.float32)  # (M, K)
         counts = jnp.sum(onehot, axis=0)  # (K,)
-        sums = onehot.T @ x  # (K, C)
+        sums = jnp.einsum("mk,mc->kc", onehot, x, precision="highest")  # (K, C)
         means = sums / jnp.maximum(counts, 1.0)[:, None]
         # empty clusters restart at a random point (clusterkit.py:181-182)
         rk = jax.random.fold_in(loop_key, i)

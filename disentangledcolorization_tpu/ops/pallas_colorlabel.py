@@ -27,11 +27,13 @@ _BLOCK = 256  # rows per program
 def _encode_kernel(ab_ref, bins_ref, q_ref, *, neighbours: int, sigma: float):
     ab = ab_ref[:] * _cielab.AB_NORM  # (B, 2)
     bins = bins_ref[:]  # (313, 2)
-    x2 = jnp.sum(ab * ab, axis=-1, keepdims=True)
-    b2 = jnp.sum(bins * bins, axis=-1)[None, :]
-    d2 = x2 - 2.0 * jax.lax.dot_general(
-        ab, bins, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) + b2  # (B, 313)
+    # exact f32 distances on the VPU: an MXU dot would run the ~1e2-magnitude
+    # ab x bins products through bf16 and scramble the 5-NN selection
+    bins_a = jnp.transpose(bins[:, 0:1])  # (1, 313): slice+transpose, no gather
+    bins_b = jnp.transpose(bins[:, 1:2])
+    da = ab[:, 0:1] - bins_a
+    db = ab[:, 1:2] - bins_b
+    d2 = da * da + db * db  # (B, 313)
 
     norm = 1.0 / (2.0 * math.pi * sigma)
     inv2s2 = 1.0 / (2.0 * sigma * sigma)
