@@ -45,30 +45,39 @@ def make_spixel_train_step(model, kernel_size: int = 16):
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_colorizer_train_step(model, loss_bundle: losses_lib.AnchorColorProbLoss):
+def make_colorizer_train_step(
+    model, loss_bundle: losses_lib.AnchorColorProbLoss, remat: bool = False
+):
     """Colorizer training step (stage 2). Batch: {'gray': (N,H,W,1),
     'color': (N,H,W,2)}. The anchor k-means key and dropout key are split from
-    a per-step base key for reproducibility."""
+    a per-step base key for reproducibility. ``remat=True`` rematerializes the
+    forward in the backward pass (jax.checkpoint) — trades FLOPs for HBM to fit
+    larger per-device batches."""
 
     def step(state: TrainState, batch: dict, base_key):
         anchor_key, dropout_key = jax.random.split(jax.random.fold_in(base_key, state.step))
 
-        def loss_fn(params):
+        def forward(params, gray, color):
             variables = {
                 "params": params,
                 "batch_stats": state.batch_stats,
                 "spectral": state.spectral,
             }
-            out, mutated = model.apply(
+            return model.apply(
                 variables,
-                batch["gray"],
-                batch["color"],
+                gray,
+                color,
                 False,  # test_mode
                 0,
                 True,  # train
                 rngs={"anchor": anchor_key, "dropout": dropout_key},
                 mutable=["batch_stats", "spectral"],
             )
+
+        fwd = jax.checkpoint(forward) if remat else forward
+
+        def loss_fn(params):
+            out, mutated = fwd(params, batch["gray"], batch["color"])
             gt_labels = out["token_labels"]
             class_w = cl.get_classweights(gt_labels)
             data = {
