@@ -84,6 +84,7 @@ def main(argv=None):
         enhanced=args.enhanced,
         n_enc_layers=args.n_enc,
         d_mlp=args.d_mlp,
+        compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32,
     )
     example_g = jnp.zeros((1, args.input_size, args.input_size, 1), jnp.float32)
     example_c = jnp.zeros((1, args.input_size, args.input_size, 2), jnp.float32)
@@ -139,7 +140,7 @@ def main(argv=None):
         feat_type=args.vgg_type,
     )
     state = replicate(mesh, state)
-    train_step = steps.make_colorizer_train_step(model, loss_bundle)
+    train_step = steps.make_colorizer_train_step(model, loss_bundle, remat=args.remat)
     eval_model = model
     eval_step = steps.make_colorizer_eval_step(eval_model, loss_bundle)
 

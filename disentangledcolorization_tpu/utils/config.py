@@ -67,6 +67,8 @@ def pcolor_argparser() -> argparse.ArgumentParser:
     p.add_argument("--random_hint", action="store_true", default=False)
     p.add_argument("--spixel_ckpt", type=str, default="", help="frozen SpixelNet checkpoint")
     p.add_argument("--vgg_npz", type=str, default="", help="converted VGG19 weights for the perceptual loss")
+    p.add_argument("--remat", action="store_true", default=False,
+                   help="rematerialize the forward in backward (larger batches, more FLOPs)")
     return p
 
 
