@@ -153,3 +153,38 @@ def test_grad_flows_and_segnet_frozen(model_and_vars):
     assert seg_norm == 0.0
     assert rep_norm > 0.0
     assert wild_norm > 0.0
+
+
+def test_spix_pos_variant():
+    """--spix_pos: positions pooled with features at full res (model.py:106-112)."""
+    m = AnchorColorProb(sp_size=16, n_clusters=4, spix_pos=True, enhanced=False)
+    grays, colors = _inputs()
+    variables = m.init(
+        {"params": jax.random.key(0), "anchor": jax.random.key(1)}, grays, colors, True, 0, False
+    )
+    out = m.apply(variables, grays, colors, True, 0, False, rngs={"anchor": jax.random.key(3)})
+    assert out["pal_logit"].shape == (1, 4, 4, 313)
+
+
+def test_learning_pos_variant():
+    """--learning_pos: learned row/col embeddings sized from the real token grid
+    (the reference sizes them with a 16//sp_size bug, model.py:58)."""
+    m = AnchorColorProb(sp_size=16, n_clusters=4, learning_pos=True, enhanced=False)
+    grays, colors = _inputs()
+    variables = m.init(
+        {"params": jax.random.key(0), "anchor": jax.random.key(1)}, grays, colors, True, 0, False
+    )
+    assert "pos_enc" in variables["params"]
+    out = m.apply(variables, grays, colors, True, 0, False, rngs={"anchor": jax.random.key(3)})
+    assert out["ref_logit"].shape == (1, 4, 4, 313)
+
+
+def test_token_mask_variant():
+    """use_mask: empty-superpixel entries masked out of attention (model.py:121-125)."""
+    m = AnchorColorProb(sp_size=16, n_clusters=4, use_mask=True, enhanced=False)
+    grays, colors = _inputs()
+    variables = m.init(
+        {"params": jax.random.key(0), "anchor": jax.random.key(1)}, grays, colors, True, 0, False
+    )
+    out = m.apply(variables, grays, colors, True, 0, False, rngs={"anchor": jax.random.key(3)})
+    assert np.isfinite(np.asarray(out["pal_logit"])).all()
