@@ -66,3 +66,17 @@ def test_infer_spixel_cli(tmp_path, tiny_imgs, monkeypatch):
     infer_spixel.main(["--data", tiny_imgs, "--name", "sp", "--input_size", "32"])
     files = sorted(os.listdir(tmp_path / "sp-s16"))
     assert "im0-spix.png" in files and "im0-recon.png" in files
+
+
+def test_evaluate_cli(tmp_path, tiny_imgs, capsys):
+    import json
+
+    from disentangledcolorization_tpu.cli import evaluate
+
+    evaluate.main(["--pred", tiny_imgs, "--gt", tiny_imgs, "--batch", "2", "--fid"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    res = json.loads(out)
+    assert res["n"] == 2
+    assert res["psnr"] > 60  # identical dirs
+    assert abs(res["ssim"] - 1.0) < 1e-3
+    assert res["fid"] < 1e-3

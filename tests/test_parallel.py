@@ -108,3 +108,32 @@ def test_spatial_sharded_inference_matches_replicated():
         f_s = jax.device_put(feat, sh)
         out = np.asarray(fwd(variables, g_s, f_s))
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_diverse_forward_under_data_sharding():
+    """Diverse mode tiles the batch 3x inside the graph; must compose with a
+    batch-sharded input (DP inference on a pod)."""
+    from disentangledcolorization_tpu.models import AnchorColorProb
+    from disentangledcolorization_tpu.parallel import batch_sharding, make_mesh
+
+    mesh = make_mesh(8)
+    m = AnchorColorProb(sp_size=16, n_clusters=2, enhanced=False)
+    rng = np.random.default_rng(0)
+    grays = jnp.asarray(rng.uniform(-1, 1, (8, 32, 32, 1)).astype(np.float32))
+    colors = jnp.zeros((8, 32, 32, 2), jnp.float32)
+    variables = m.init(
+        {"params": jax.random.key(0), "anchor": jax.random.key(1)}, grays, colors, True, 2, False
+    )
+    with jax.set_mesh(mesh):
+        sh = batch_sharding(mesh)
+        out = m.apply(
+            variables,
+            jax.device_put(grays, sh),
+            jax.device_put(colors, sh),
+            True,
+            2,
+            False,
+            rngs={"anchor": jax.random.key(3)},
+        )
+    assert out["ref_logit"].shape == (24, 2, 2, 313)
+    assert np.isfinite(np.asarray(out["ref_logit"])).all()
