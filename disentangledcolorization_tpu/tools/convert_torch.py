@@ -284,3 +284,37 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def convert_inception_torchvision(sd: Mapping[str, "np.ndarray"]) -> dict:
+    """torchvision inception_v3 state_dict -> InceptionV3Features flax variables.
+
+    Generic walk: '<mod>.conv.weight' -> params[<mod>]/conv/kernel (HWIO),
+    '<mod>.bn.{weight,bias}' -> params, running stats -> batch_stats.
+    fc / AuxLogits entries are ignored (feature extractor only).
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def set_path(tree, dotted, leaf):
+        node = tree
+        parts = dotted.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(leaf)
+
+    for k, v in sd.items():
+        if k.startswith(("fc.", "AuxLogits.")):
+            continue
+        v = np.asarray(v)
+        if k.endswith(".conv.weight"):
+            set_path(params, k[: -len(".weight")] + ".kernel", _conv_w(v))
+        elif k.endswith(".bn.weight"):
+            set_path(params, k[: -len(".weight")] + ".scale", v)
+        elif k.endswith(".bn.bias"):
+            set_path(params, k, v)
+        elif k.endswith(".bn.running_mean"):
+            set_path(stats, k[: -len(".running_mean")] + ".mean", v)
+        elif k.endswith(".bn.running_var"):
+            set_path(stats, k[: -len(".running_var")] + ".var", v)
+    return {"params": params, "batch_stats": stats}

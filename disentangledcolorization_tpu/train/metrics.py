@@ -111,10 +111,31 @@ class FeatureStats:
 def make_feature_extractor(npz_path: str | None = None):
     """Returns (extract_fn(rgb_nhwc)->(N, D) np.ndarray, extractor_name).
 
-    Prefers converted InceptionV3 weights (inception.npz), else VGG19 slices,
-    else a fixed random-projection pool (deterministic, weight-free) so FID
-    remains computable for relative comparisons.
+    Prefers converted InceptionV3 weights (the canonical FID extractor; convert
+    torchvision's inception_v3 state_dict with tools/convert_torch and pickle
+    the variables), else VGG19 slices, else a fixed random-projection pool
+    (deterministic, weight-free) so FID remains computable for relative
+    comparisons. The extractor name is recorded in the result dict.
     """
+    import os
+    import pickle
+
+    if npz_path and npz_path.endswith((".pkl", ".pickle")) and os.path.exists(npz_path):
+        from ..models.inception import InceptionV3Features
+
+        with open(npz_path, "rb") as f:
+            inc_vars = pickle.load(f)
+        model = InceptionV3Features()
+
+        @jax.jit
+        def extract_inc(rgb):
+            n, h, w, _ = rgb.shape
+            if (h, w) != (299, 299):
+                rgb = jax.image.resize(rgb, (n, 299, 299, 3), "bilinear")
+            return model.apply(inc_vars, rgb)
+
+        return lambda rgb: np.asarray(extract_inc(jnp.asarray(rgb))), "inception-v3-pool3"
+
     from ..models.vgg import VGG19Features, load_vgg19_params
 
     vgg_vars = load_vgg19_params(npz_path)

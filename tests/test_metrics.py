@@ -58,3 +58,81 @@ def test_fid_extractor_fallback_runs():
     rng = np.random.default_rng(4)
     feats = extract(rng.uniform(0, 1, (2, 256, 256, 3)).astype(np.float32))
     assert feats.shape[0] == 2 and feats.ndim == 2
+
+
+def test_inception_v3_features_shape_and_structure():
+    """InceptionV3 extractor: pool3 is 2048-d; param tree matches torchvision
+    module names so pretrained weights convert mechanically."""
+    import jax
+    import jax.numpy as jnp
+
+    from disentangledcolorization_tpu.models.inception import InceptionV3Features
+
+    m = InceptionV3Features()
+    x = jnp.zeros((1, 299, 299, 3))
+    variables = jax.eval_shape(lambda: m.init(jax.random.key(0), x))
+    feats_shape = jax.eval_shape(lambda v: m.apply(v, x), variables)
+    assert feats_shape.shape == (1, 2048)
+    p = variables["params"]
+    for name in ("Conv2d_1a_3x3", "Mixed_5b", "Mixed_6e", "Mixed_7c"):
+        assert name in p, name
+    # torchvision inception_v3 feature-extractor conv params: 21.8M
+    n_params = sum(
+        int(np.prod(s.shape)) for s in jax.tree_util.tree_leaves(variables["params"])
+    )
+    assert 20e6 < n_params < 24e6, n_params
+
+
+def test_inception_converter_roundtrip():
+    """A synthetic torchvision-keyed state_dict fills the entire flax tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from disentangledcolorization_tpu.models.inception import InceptionV3Features
+    from disentangledcolorization_tpu.tools.convert_torch import convert_inception_torchvision
+
+    m = InceptionV3Features()
+    variables = jax.eval_shape(lambda: m.init(jax.random.key(0), jnp.zeros((1, 299, 299, 3))))
+
+    # build the synthetic torch state_dict from our own shapes (HWIO -> OIHW)
+    sd = {}
+
+    def walk(tree, stats, prefix=""):
+        for k, v in tree.items():
+            path = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+            if hasattr(v, "items"):
+                walk(v, stats.get(k, {}), path)
+            else:
+                if path.endswith(".conv.kernel"):
+                    kh, kw, i, o = v.shape
+                    sd[path.replace(".kernel", ".weight")] = np.zeros((o, i, kh, kw), np.float32)
+                elif path.endswith(".bn.scale"):
+                    sd[path.replace(".scale", ".weight")] = np.ones(v.shape, np.float32)
+                elif path.endswith(".bn.bias"):
+                    sd[path] = np.zeros(v.shape, np.float32)
+
+    def walk_stats(tree, prefix=""):
+        for k, v in tree.items():
+            path = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+            if hasattr(v, "items"):
+                walk_stats(v, path)
+            else:
+                if path.endswith(".bn.mean"):
+                    sd[path.replace(".mean", ".running_mean")] = np.zeros(v.shape, np.float32)
+                elif path.endswith(".bn.var"):
+                    sd[path.replace(".var", ".running_var")] = np.ones(v.shape, np.float32)
+
+    walk(variables["params"], variables.get("batch_stats", {}))
+    walk_stats(variables["batch_stats"])
+    converted = convert_inception_torchvision(sd)
+
+    def same_structure(a, b, where=""):
+        assert set(a.keys()) == set(b.keys()), f"{where}: {set(a) ^ set(b)}"
+        for k in a:
+            if hasattr(a[k], "items"):
+                same_structure(a[k], b[k], where + "/" + k)
+            else:
+                assert tuple(a[k].shape) == tuple(np.asarray(b[k]).shape), where + "/" + k
+
+    same_structure(variables["params"], converted["params"])
+    same_structure(variables["batch_stats"], converted["batch_stats"])
