@@ -213,3 +213,10 @@ class AsyncWriter:
 
     def __len__(self):
         return self.q.qsize()
+
+
+def get_gauss_kernel(size: int, sigma: float) -> np.ndarray:
+    """MATLAB fspecial-style normalized Gaussian kernel (reference util.py:11-15)."""
+    x, y = np.mgrid[-size // 2 + 1 : size // 2 + 1, -size // 2 + 1 : size // 2 + 1]
+    g = np.exp(-((x**2 + y**2) / (2.0 * sigma**2)))
+    return g / g.sum()

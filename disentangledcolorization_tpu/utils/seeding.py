@@ -29,3 +29,22 @@ def key_for(root: jax.Array, *tags: int | str) -> jax.Array:
     for t in tags:
         k = jax.random.fold_in(k, hash(t) & 0x7FFFFFFF if isinstance(t, str) else t)
     return k
+
+
+def param_count(tree) -> int:
+    """Total parameter count (reference getParamsAmount, basic.py:22-30)."""
+    return sum(int(np.prod(np.shape(x))) for x in jax.tree_util.tree_leaves(tree))
+
+
+def mean_abs_grad(grads) -> float:
+    """Mean of per-leaf mean |grad| (reference checkAverageGradient, basic.py:33-39)."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    if not leaves:
+        return 0.0
+    return float(sum(jnp_abs_mean(g) for g in leaves) / len(leaves))
+
+
+def jnp_abs_mean(x) -> float:
+    import jax.numpy as jnp
+
+    return float(jnp.mean(jnp.abs(x)))
