@@ -80,3 +80,28 @@ def test_evaluate_cli(tmp_path, tiny_imgs, capsys):
     assert res["psnr"] > 60  # identical dirs
     assert abs(res["ssim"] - 1.0) < 1e-3
     assert res["fid"] < 1e-3
+
+
+def test_colorizer_api(tiny_imgs):
+    import cv2
+
+    from disentangledcolorization_tpu.api import Colorizer
+
+    c = Colorizer(n_clusters=2, bucket=16)
+    img = cv2.cvtColor(cv2.imread(os.path.join(tiny_imgs, "im0.jpg")), cv2.COLOR_BGR2RGB)
+    out = c.colorize(img)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # grayscale input
+    out2 = c.colorize(img[..., 0])
+    assert out2.shape == img.shape
+    # diverse
+    outs = c.colorize(img, diverse=True)
+    assert len(outs) == 3 and outs[0].shape == img.shape
+    # hints on the token grid
+    hc, wc = 48 // 16, 48 // 16
+    mask = np.zeros((hc, wc), np.float32)
+    mask[1, 1] = 1
+    ab = np.zeros((hc, wc, 2), np.float32)
+    ab[1, 1] = (0.4, -0.3)
+    out3 = c.colorize(img, hints=(mask, ab))
+    assert out3.shape == img.shape
