@@ -188,3 +188,18 @@ def test_token_mask_variant():
     )
     out = m.apply(variables, grays, colors, True, 0, False, rngs={"anchor": jax.random.key(3)})
     assert np.isfinite(np.asarray(out["pal_logit"])).all()
+
+
+def test_n_clusters_sweep_including_degenerate():
+    """BASELINE config #3 sweep: n_clusters in {4, 8, 16}; 16 == token count
+    here, so every token is its own cluster — must not NaN or crash."""
+    grays, colors = _inputs()
+    for k in (8, 16):
+        m = AnchorColorProb(sp_size=16, n_clusters=k, enhanced=False)
+        variables = m.init(
+            {"params": jax.random.key(0), "anchor": jax.random.key(1)}, grays, colors, True, 0, False
+        )
+        out = m.apply(variables, grays, colors, True, 0, False, rngs={"anchor": jax.random.key(3)})
+        assert np.isfinite(np.asarray(out["ref_logit"])).all()
+        n_anchors = int(out["hint_mask"].sum())
+        assert 1 <= n_anchors <= k
