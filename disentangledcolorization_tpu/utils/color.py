@@ -53,25 +53,35 @@ def _mat3(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
 
 
 def rgb2xyz(rgb: jnp.ndarray) -> jnp.ndarray:
-    """sRGB (..., 3) in [0,1] -> XYZ. Gamma-expands with the sRGB curve."""
+    """sRGB (..., 3) in [0,1] -> XYZ. Gamma-expands with the sRGB curve.
+
+    Branch inputs are clamped into each branch's own domain before the pow
+    ("safe where"): a fractional power at 0 has an infinite derivative whose
+    NaN survives the 0-mask multiply in the backward pass. The reference has
+    this latent NaN too, but its perceptual loss was accidentally detached
+    (loss.py:81) so it never surfaced.
+    """
     mask = (rgb > 0.04045).astype(rgb.dtype)
-    rgb = (((rgb + 0.055) / 1.055) ** 2.4) * mask + (rgb / 12.92) * (1 - mask)
+    safe = jnp.maximum(rgb, 0.04045)
+    rgb = (((safe + 0.055) / 1.055) ** 2.4) * mask + (rgb / 12.92) * (1 - mask)
     return _mat3(rgb, _RGB2XYZ)
 
 
 def xyz2rgb(xyz: jnp.ndarray) -> jnp.ndarray:
-    """XYZ (..., 3) -> sRGB in [0,1] (clipped at 0 below to avoid NaN in pow)."""
+    """XYZ (..., 3) -> sRGB in [0,1] (gradient-safe at 0, see rgb2xyz)."""
     rgb = _mat3(xyz, _XYZ2RGB)
     rgb = jnp.maximum(rgb, 0.0)
     mask = (rgb > 0.0031308).astype(rgb.dtype)
-    return (1.055 * (rgb ** (1.0 / 2.4)) - 0.055) * mask + 12.92 * rgb * (1 - mask)
+    safe = jnp.maximum(rgb, 0.0031308)
+    return (1.055 * (safe ** (1.0 / 2.4)) - 0.055) * mask + 12.92 * rgb * (1 - mask)
 
 
 def xyz2lab(xyz: jnp.ndarray) -> jnp.ndarray:
-    """XYZ (..., 3) -> Lab (L in [0,100], ab in real units)."""
+    """XYZ (..., 3) -> Lab (L in [0,100], ab in real units); gradient-safe cube root."""
     xyz_scale = xyz / _WHITE.astype(xyz.dtype)
     mask = (xyz_scale > 0.008856).astype(xyz.dtype)
-    f = (xyz_scale ** (1.0 / 3.0)) * mask + (7.787 * xyz_scale + 16.0 / 116.0) * (1 - mask)
+    safe = jnp.maximum(xyz_scale, 0.008856)
+    f = (safe ** (1.0 / 3.0)) * mask + (7.787 * xyz_scale + 16.0 / 116.0) * (1 - mask)
     l = 116.0 * f[..., 1] - 16.0
     a = 500.0 * (f[..., 0] - f[..., 1])
     b = 200.0 * (f[..., 1] - f[..., 2])

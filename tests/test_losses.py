@@ -156,3 +156,38 @@ def test_laplace_gradient_matches_reference(reference_modules):
         jnp.asarray(pred.transpose(0, 2, 3, 1)), jnp.asarray(tgt.transpose(0, 2, 3, 1))
     )
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+
+def test_perceptual_loss_with_vgg_flows_gradient():
+    """Enhanced loss with (random-init) VGG19 features: finite, and gradient
+    reaches the prediction but not the ground truth (stop_gradient on targets)."""
+    import jax
+
+    from disentangledcolorization_tpu.models.vgg import VGG19Features
+
+    vgg = VGG19Features(feat_type="liu")
+    rng = np.random.default_rng(0)
+    vgg_vars = vgg.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    bundle = L.AnchorColorProbLoss(enhanced=True, vgg_variables=vgg_vars)
+    gray = jnp.asarray(rng.uniform(-0.8, 0.8, (1, 64, 64, 1)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(-0.4, 0.4, (1, 64, 64, 2)).astype(np.float32))
+    pal = jnp.zeros((1, 4, 4, 313))
+    labels = jnp.zeros((1, 4, 4), jnp.int32)
+
+    def loss_fn(pred):
+        data = {
+            "pal_logit": pal,
+            "ref_logit": pal,
+            "target_label": labels,
+            "class_weight": jnp.asarray(cl.get_classweights(labels)),
+            "spix_color": None,
+            "input_gray": gray,
+            "input_color": gt,
+            "pred_color": pred,
+        }
+        return bundle(data)["recLoss"]
+
+    pred = jnp.asarray(rng.uniform(-0.4, 0.4, (1, 64, 64, 2)).astype(np.float32))
+    val, grad = jax.value_and_grad(loss_fn)(pred)
+    assert np.isfinite(float(val)) and float(val) > 0
+    assert float(jnp.abs(grad).sum()) > 0
