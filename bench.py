@@ -73,8 +73,21 @@ def main():
 
     f1 = chained(1)
     fN = chained(ITERS + 1)
-    f1(jax.random.key(2))
-    fN(jax.random.key(2))  # compile
+
+    def _compile_with_retry(fn, *args, attempts=3):
+        # the axon remote-compile tunnel occasionally drops a response body;
+        # a retry recompiles cleanly
+        for i in range(attempts):
+            try:
+                return fn(*args)
+            except Exception as e:  # noqa: BLE001
+                if i == attempts - 1:
+                    raise
+                print(f"# compile attempt {i + 1} failed ({type(e).__name__}); retrying", flush=True)
+                time.sleep(10)
+
+    _compile_with_retry(f1, jax.random.key(2))
+    _compile_with_retry(fN, jax.random.key(2))
     d1 = _timed(f1, jax.random.key(3))
     dN = _timed(fN, jax.random.key(3))
     per_forward = max((dN - d1) / ITERS, 1e-9)
