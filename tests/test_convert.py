@@ -106,3 +106,55 @@ def test_converted_spixelseg_parity(ref_pair):
     ours = SpixelSeg()
     prob = ours.apply(variables, jnp.asarray(grays.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(prob).transpose(0, 3, 1, 2), ref_prob, atol=2e-4)
+
+
+def test_converted_weights_hint2regress_parity(reference_modules):
+    """Same converted-weight parity for the hint2regress (ab-regression) head."""
+    refs = reference_modules
+    torch = refs["torch"]
+    model_mod = refs["model"]
+    torch.manual_seed(1)
+    ref_model = model_mod.AnchorColorProb(
+        inChannel=1, outChannel=313, sp_size=16, d_model=64, use_dense_pos=True,
+        n_clusters=4, random_hint=False, hint2regress=True, enhanced=False, rank=0,
+    )
+    ref_model.eval()
+    sd = {k: v.detach().cpu().numpy() for k, v in ref_model.state_dict().items()}
+    variables = cvt.convert_disco_state_dict(sd, hint2regress=True, enhanced=False, sn_folded=True)
+    ours = AnchorColorProb(
+        sp_size=16, n_clusters=4, hint2regress=True, enhanced=False, sn_folded=True
+    )
+
+    grays, colors = _np_inputs(seed=5)
+    n, _, h, w = grays.shape
+    hc, wc = h // 16, w // 16
+    fixed_mask = np.zeros((n, 1, hc, wc), np.float32)
+    fixed_mask[:, :, 0, 0] = 1.0
+    fixed_mask[:, :, 2, 2] = 1.0
+
+    class PinnedAnchorGen:
+        def __init__(self, orig):
+            self._sample_anchor_colors = orig._sample_anchor_colors
+
+        def __call__(self, data_tensors, n_anchors, spixel_sizes, use_sklearn_kmeans=False):
+            return torch.from_numpy(fixed_mask), torch.zeros(n, 4, hc, wc)
+
+    ref_model.anchorGen = PinnedAnchorGen(ref_model.anchorGen)
+    with torch.no_grad():
+        _, ref_logit, _, _, _, _ = ref_model(
+            torch.from_numpy(grays), torch.from_numpy(colors), True, 0
+        )
+
+    out = ours.apply(
+        variables,
+        jnp.asarray(grays.transpose(0, 2, 3, 1)),
+        jnp.asarray(colors.transpose(0, 2, 3, 1)),
+        True,
+        0,
+        False,
+        hint_mask_override=jnp.asarray(fixed_mask.transpose(0, 2, 3, 1)),
+        rngs={"anchor": jax.random.key(0)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["ref_logit"]).transpose(0, 3, 1, 2), ref_logit.numpy(), atol=5e-3
+    )
