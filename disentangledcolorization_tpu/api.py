@@ -15,7 +15,7 @@ same resolution run at full device speed.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Optional
 
 import cv2
 import jax
@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models import AnchorColorProb
-from .utils import io as io_lib
 
 
 class Colorizer:

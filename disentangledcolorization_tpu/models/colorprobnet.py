@@ -9,7 +9,6 @@ collection (see layers.SNConv).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import BatchNorm, Conv, SNConv, upsample_nearest_2x

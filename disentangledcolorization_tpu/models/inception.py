@@ -15,8 +15,6 @@ applied inside. Output: (N, 2048) pool3 features.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -20,7 +20,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

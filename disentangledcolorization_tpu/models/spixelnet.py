@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import BatchNorm, Conv, Deconv
+from .layers import BatchNorm, Deconv
 
 _kaiming = nn.initializers.variance_scaling(2.0 / (1 + 0.1**2), "fan_in", "normal")
 

@@ -17,8 +17,6 @@ TPU-first design notes:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -13,8 +13,6 @@ weights match loss.py:158-173.
 from __future__ import annotations
 
 import os
-from typing import Sequence
-
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

@@ -14,8 +14,6 @@ op; each host feeds its local shard via ``host_local_batch_to_global``.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -20,7 +20,7 @@ Run as a script to convert a .pth.tar into an .npz/orbax dir:
 from __future__ import annotations
 
 import sys
-from typing import Callable, Mapping
+from typing import Mapping
 
 import numpy as np
 

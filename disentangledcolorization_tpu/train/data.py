@@ -13,7 +13,6 @@ double-buffered prefetcher so decode/convert overlaps device compute.
 from __future__ import annotations
 
 import os
-import random
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from queue import Queue

@@ -17,8 +17,7 @@ L1(stop_grad(VGG(gt_rgb)), VGG(pred_rgb)) — gradient flows to the prediction.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

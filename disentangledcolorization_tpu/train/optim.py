@@ -8,8 +8,7 @@ because it keys off validation loss between epochs, outside the jitted step.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable, Optional
+from dataclasses import dataclass
 
 import optax
 

@@ -9,7 +9,7 @@ equivalent of requires_grad=False, model.py:84-87).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import flax
 import jax

@@ -8,14 +8,10 @@ statistics are global-batch statistics under pjit (SyncBN semantics).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Optional
-
 import jax
 import jax.numpy as jnp
 
 from ..ops import colorlabel as cl
-from ..ops import superpixel as sp_ops
 from . import losses as losses_lib
 from .state import TrainState
 
