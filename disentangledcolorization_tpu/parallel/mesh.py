@@ -82,3 +82,24 @@ def mean_reduce_metrics(metrics):
     """Metric scalars under pjit are already global means — identity hook kept
     for API parity with the reference's mean_reduce_tensor (utils_train.py:276-284)."""
     return metrics
+
+
+def make_hierarchical_mesh(n_slices: int, axis_names=("replica", "data"), devices=None) -> Mesh:
+    """2-D mesh (slices x chips-per-slice) for multi-slice pods.
+
+    Pure data parallelism still shards the batch over BOTH axes (pass
+    ``PartitionSpec(axis_names)`` for the batch dim); laying the slice axis out
+    explicitly keeps the gradient all-reduce hierarchical — XLA reduces over
+    ICI within a slice first, then over DCN across slices.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    assert n % n_slices == 0, f"{n} devices not divisible into {n_slices} slices"
+    arr = np.asarray(devices).reshape(n_slices, n // n_slices)
+    return Mesh(arr, axis_names)
+
+
+def hierarchical_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch sharded over every mesh axis (DP across slices and chips)."""
+    return NamedSharding(mesh, P(mesh.axis_names))

@@ -203,3 +203,17 @@ def test_n_clusters_sweep_including_degenerate():
         assert np.isfinite(np.asarray(out["ref_logit"])).all()
         n_anchors = int(out["hint_mask"].sum())
         assert 1 <= n_anchors <= k
+
+
+def test_non_square_resolution():
+    """no_resize semantics: any (H, W) multiple of sp_size works (here 64x96)."""
+    m = AnchorColorProb(sp_size=16, n_clusters=4, enhanced=True)
+    rng = np.random.default_rng(9)
+    grays = jnp.asarray(rng.uniform(-1, 1, (1, 64, 96, 1)).astype(np.float32))
+    colors = jnp.zeros((1, 64, 96, 2), jnp.float32)
+    variables = m.init(
+        {"params": jax.random.key(0), "anchor": jax.random.key(1)}, grays, colors, True, 0, False
+    )
+    out = m.apply(variables, grays, colors, True, 0, False, rngs={"anchor": jax.random.key(3)})
+    assert out["pal_logit"].shape == (1, 4, 6, 313)
+    assert out["pred_colors"].shape == (1, 64, 96, 2)

@@ -137,3 +137,47 @@ def test_diverse_forward_under_data_sharding():
         )
     assert out["ref_logit"].shape == (24, 2, 2, 313)
     assert np.isfinite(np.asarray(out["ref_logit"])).all()
+
+
+def test_hierarchical_mesh_dp_step():
+    """2x4 (slices x chips) mesh: DP over both axes matches the flat-mesh step."""
+    from disentangledcolorization_tpu.models import SpixelSeg
+    from disentangledcolorization_tpu.ops import superpixel as sp
+    from disentangledcolorization_tpu.parallel import make_mesh, replicate
+    from disentangledcolorization_tpu.parallel.mesh import (
+        hierarchical_batch_sharding,
+        make_hierarchical_mesh,
+    )
+    from disentangledcolorization_tpu.train import optim, steps
+    from disentangledcolorization_tpu.train.state import TrainState
+
+    model = SpixelSeg(train=True)
+    rng = np.random.default_rng(5)
+    n, h, w = 8, 32, 32
+    _, coord = sp.init_spixel_grid(h, w, 16)
+    batch = {
+        "gray": jnp.asarray(rng.uniform(-1, 1, (n, h, w, 1)).astype(np.float32)),
+        "feat": jnp.asarray(rng.uniform(-0.5, 0.5, (n, h, w, 2)).astype(np.float32)),
+        "coord": jnp.broadcast_to(coord[None], (n, h, w, 2)),
+    }
+    variables = model.init(jax.random.key(0), batch["gray"])
+    tx = optim.build_optimizer("adam", 1e-3)
+
+    losses = []
+    for mesh, sharding in (
+        (make_mesh(8), None),
+        (make_hierarchical_mesh(2), None),
+    ):
+        fresh = jax.tree_util.tree_map(jnp.copy, dict(variables))
+        state = replicate(mesh, TrainState.create(fresh, tx))
+        sh = (
+            hierarchical_batch_sharding(mesh)
+            if len(mesh.axis_names) == 2
+            else jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+        )
+        b = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+        step = steps.make_spixel_train_step(model, kernel_size=16)
+        with jax.set_mesh(mesh):
+            _, metrics = step(state, b, jax.random.key(1))
+        losses.append(float(metrics["totalLoss"]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
