@@ -83,7 +83,13 @@ def main():
             except Exception as e:  # noqa: BLE001
                 if i == attempts - 1:
                     raise
-                print(f"# compile attempt {i + 1} failed ({type(e).__name__}); retrying", flush=True)
+                import sys
+
+                print(
+                    f"# compile attempt {i + 1} failed ({type(e).__name__}); retrying",
+                    file=sys.stderr,
+                    flush=True,
+                )
                 time.sleep(10)
 
     _compile_with_retry(f1, jax.random.key(2))
