@@ -84,7 +84,7 @@ def main(argv=None):
     print(f"@Inference: [AnchorColorProb] (spixel-size={args.psize})")
 
     sampled_T = 2 if args.diverse else 0
-    save_dir = os.path.join(args.save_dir if hasattr(args, "save_dir") else ".", f"{args.name}-anchor{args.n_clusters}")
+    save_dir = os.path.join(args.save_dir, f"{args.name}-anchor{args.n_clusters}")
     os.makedirs(save_dir, exist_ok=True)
     img_list = io_lib.get_filelist(args.data)
     print(f"-data dir ({len(img_list)} images): {args.data}")
@@ -142,6 +142,7 @@ def main(argv=None):
             colors = jax.device_put(colors, data_sharding)
         pred_ab, guided, hint_mask, affinity = forward(variables, grays, colors, sub)
         pred_ab = np.asarray(pred_ab, np.float32)
+        guided = np.asarray(guided, np.float32)
         nb = grays_np.shape[0]
         for i in range(nb):
             if names[i] is None:  # batch-padding tail
@@ -158,6 +159,11 @@ def main(argv=None):
                 if args.no_resize:
                     lab = lab[:, :h, :w]
                 io_lib.save_normLabs_from_batch(lab, save_dir, [names[i]], -1)
+                if args.save_guided:
+                    glab = np.concatenate([grays_np[i], guided[i]], axis=-1)[None]
+                    if args.no_resize:
+                        glab = glab[:, :h, :w]
+                    io_lib.save_normLabs_from_batch(glab, save_dir, [names[i]], -1, suffix="guided")
                 if args.save_anchors:
                     masks = sp.upfeat(hint_mask[i : i + 1], affinity[i : i + 1], args.psize, args.psize)
                     marked = hints_ops.mark_color_hints(

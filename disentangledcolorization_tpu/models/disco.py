@@ -201,7 +201,10 @@ class AnchorColorProb(nn.Module):
 
         mask_seq = hint_mask.reshape(n, t, 1)
         if self.hint2regress:
-            gt_seq = (spix_colors if test_mode else spix_colors).reshape(n, t, 2)
+            # test mode: spix_colors was reassigned to the sampled anchors above
+            # (the intent of reference model.py:177, whose train branch is the
+            # `spix_color` NameError typo — not replicated)
+            gt_seq = spix_colors.reshape(n, t, 2)
             hint_in = jnp.concatenate([src_seq, mask_seq * gt_seq, mask_seq], axis=-1)
         else:
             labels = sampled_token_labels if test_mode else token_labels
@@ -262,12 +265,10 @@ def xavier_reinit_params(key: jax.Array, params, min_ndim: int = 2):
     new_leaves = []
     for k, leaf in zip(keys, leaves):
         if hasattr(leaf, "ndim") and leaf.ndim >= min_ndim:
-            if leaf.ndim == 2:
-                new_leaves.append(init(k, leaf.shape, leaf.dtype))
-            else:
-                # conv kernels (H, W, I, O): torch xavier uses fan_in/out over
-                # the flattened matrix; variance_scaling reproduces it
-                new_leaves.append(init(k, leaf.shape, leaf.dtype))
+            # dense (I, O) and conv (H, W, I, O) kernels alike: flax
+            # xavier_uniform computes fan_in/out over the flattened matrix,
+            # reproducing torch's nn.init.xavier_uniform_
+            new_leaves.append(init(k, leaf.shape, leaf.dtype))
         else:
             new_leaves.append(leaf)
     return jax.tree_util.tree_unflatten(treedef, new_leaves)

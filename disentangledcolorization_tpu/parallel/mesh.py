@@ -19,19 +19,46 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def initialize_distributed(coordinator: str | None = None, num_processes: int | None = None, process_id: int | None = None):
+def initialize_distributed(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
     """Multi-host bring-up (equivalent of reference init_dist, utils_train.py:229-241).
 
-    No-op on a single host; with arguments (or TPU metadata auto-detection)
-    joins the jax.distributed rendezvous.
+    MUST be called before any other jax API: anything that touches the backend
+    (jax.devices(), jax.process_count(), the first traced op) pins a
+    single-process runtime and makes a later rendezvous impossible, which is
+    why this function decides purely from its arguments.
+
+    * No coordinator and num_processes in (None, 1): single-process run,
+      no-op — matches the reference's non-DDP path.
+    * A coordinator (with or without explicit num_processes/process_id — jax
+      auto-detects the rest from the cluster env when omitted), or an explicit
+      num_processes > 1 (TPU pod metadata auto-detection): joins the
+      jax.distributed rendezvous.
+
+    Idempotent: a second call after successful initialization is a no-op.
+    Every other failure (bad address, rendezvous timeout, id out of range)
+    propagates — silently swallowing it would strand the job as accidental
+    single-process, the exact failure mode of the reference's unreachable
+    mpi/slurm branches (utils_train.py:234-239).
     """
+    if coordinator is None and num_processes in (None, 1):
+        return
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
     try:
-        if coordinator is not None:
-            jax.distributed.initialize(coordinator, num_processes, process_id)
-        elif jax.process_count() == 1 and num_processes not in (None, 1):
-            jax.distributed.initialize()
-    except RuntimeError:
-        pass  # already initialized
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if "already initialized" in str(e) or "called once" in str(e):
+            return  # idempotent re-entry
+        raise
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data", devices=None) -> Mesh:

@@ -127,19 +127,27 @@ class DataLoader:
         nb = len(self)
         q: Queue = Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        error: list[BaseException] = []
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(nb):
-                    if stop.is_set():
-                        break
-                    batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                    items = list(pool.map(self.ds.__getitem__, batch_idx))
-                    batch = {
-                        k: np.stack([it[k] for it in items]) for k in items[0]
-                    }
-                    q.put(batch)
-            q.put(None)
+            # the sentinel MUST reach the queue even when the producer dies
+            # (decode error, bad num_workers) — otherwise the consumer blocks
+            # on q.get() forever and training hangs silently
+            try:
+                with ThreadPoolExecutor(max(self.num_workers, 1)) as pool:
+                    for b in range(nb):
+                        if stop.is_set():
+                            break
+                        batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                        items = list(pool.map(self.ds.__getitem__, batch_idx))
+                        batch = {
+                            k: np.stack([it[k] for it in items]) for k in items[0]
+                        }
+                        q.put(batch)
+            except BaseException as e:  # noqa: BLE001
+                error.append(e)
+            finally:
+                q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -147,6 +155,8 @@ class DataLoader:
             while True:
                 batch = q.get()
                 if batch is None:
+                    if error:
+                        raise error[0]
                     return
                 yield batch
         finally:

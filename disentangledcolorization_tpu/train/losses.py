@@ -122,6 +122,17 @@ class AnchorColorProbLoss:
         self.vgg_variables = vgg_variables
         self.feat_type = feat_type
         self._vgg = VGG19Features(feat_type=feat_type) if vgg_variables is not None else None
+        if enhanced and vgg_variables is None:
+            import warnings
+
+            warnings.warn(
+                "AnchorColorProbLoss: no VGG19 weights supplied — the reconstruction "
+                "term falls back to pixel L1 instead of the reference's VGG19 "
+                "perceptual loss (/root/reference/models/loss.py:78-84). This trains "
+                "a DIFFERENT objective than the paper. Pass --vgg_npz (converted via "
+                "tools/convert_torch.py::convert_vgg19) to restore it.",
+                stacklevel=2,
+            )
 
     def _perceptual(self, input_grays, gt_colors, pred_colors):
         gt_rgb = color_lib.lab2rgb(jnp.concatenate([input_grays, gt_colors], axis=-1))

@@ -94,6 +94,11 @@ def inference_argparser() -> argparse.ArgumentParser:
     p.add_argument("--diverse", action="store_true", default=False)
     p.add_argument("--batch_size", default=8, type=int, help="TPU batch (resize mode)")
     p.add_argument("--save_anchors", action="store_true", default=False)
+    p.add_argument("--save_guided", action="store_true", default=False,
+                   help="also save the guided (pre-enhancement) colorization "
+                   "(reference inference.py:111-115 computes it; suffix 'guided')")
+    p.add_argument("--save_dir", type=str, default=".",
+                   help="output root (default: cwd, matching reference inference.py:62)")
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--trace_dir", type=str, default="", help="jax.profiler trace output dir")
     p.add_argument(

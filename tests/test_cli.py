@@ -45,6 +45,20 @@ def test_infer_cli_resize_mode(tmp_path, tiny_imgs, monkeypatch):
     assert files == ["im0.png", "im1.png"]
 
 
+def test_infer_cli_save_guided(tmp_path, tiny_imgs):
+    """--save_guided writes the pre-enhancement colorization (reference
+    inference.py:111-115 computes it but never saves it)."""
+    d = _run_infer(tmp_path, tiny_imgs, ["--no_resize", "--save_guided"])
+    files = sorted(os.listdir(d))
+    assert files == ["im0-guided.png", "im0.png", "im1-guided.png", "im1.png"]
+    import cv2
+
+    g = cv2.imread(os.path.join(d, "im0-guided.png"))
+    e = cv2.imread(os.path.join(d, "im0.png"))
+    assert g.shape == (48, 40, 3) == e.shape
+    assert (g != e).any()  # guided (token-level) differs from enhanced output
+
+
 def test_infer_cli_no_resize_and_diverse(tmp_path, tiny_imgs):
     d = _run_infer(tmp_path, tiny_imgs, ["--no_resize", "--diverse", "--bucket", "16"])
     files = sorted(os.listdir(d))

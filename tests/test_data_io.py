@@ -85,3 +85,34 @@ def test_imagenet_filelist(tmp_path):
     lst.write_text("a/x.jpg 3\nb/y.jpg 7\n")
     files = data_lib.load_imagenet_filelist(str(lst), "/root/data")
     assert files == ["/root/data/a/x.jpg", "/root/data/b/y.jpg"]
+
+
+def test_dataloader_zero_workers_no_deadlock(tmp_path):
+    """num_workers=0 used to kill the producer thread (ThreadPoolExecutor(0)
+    raises) without ever queueing the end-sentinel — the trainer then hung
+    forever on q.get(). Found by driving the trainer CLI with --num_workers 0."""
+    import cv2
+
+    for i in range(4):
+        img = (np.full((16, 16, 3), 40 * i)).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / f"i{i}.png"), img)
+    ds = data_lib.LabDataset(str(tmp_path), resize=16)
+    loader = data_lib.DataLoader(ds, batch_size=2, shuffle=False, num_workers=0)
+    batches = list(loader)
+    assert len(batches) == 2 and batches[0]["gray"].shape == (2, 16, 16, 1)
+
+
+def test_dataloader_producer_error_propagates(tmp_path):
+    """A decode failure must raise in the consumer, not hang the train loop."""
+    import pytest
+
+    class Boom:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise ValueError("decode failed")
+
+    loader = data_lib.DataLoader(Boom(), batch_size=2, shuffle=False, num_workers=1)
+    with pytest.raises(ValueError, match="decode failed"):
+        list(loader)
