@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 import os
 import pickle
+import sys
 import time
 
 import jax
@@ -120,12 +121,23 @@ def main(argv=None):
     # XLA partitions the whole graph, k-means and all (each image independent)
     n_dev = len(jax.devices())
     mesh = None
+    spatial_sharding = None
     if n_dev > 1 and not args.no_resize and args.batch_size % n_dev == 0:
         from ..parallel import make_mesh, batch_sharding
 
         mesh = make_mesh()
         data_sharding = batch_sharding(mesh)
         print(f"-data-parallel inference over {n_dev} devices")
+    elif n_dev > 1 and args.no_resize and args.shard_spatial:
+        # context-parallel analog (SURVEY §5 long-context row): shard the H
+        # axis; GSPMD inserts conv halo exchanges and token-stage gathers
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import make_mesh
+
+        smesh = make_mesh(axis="h")
+        spatial_sharding = NamedSharding(smesh, P(None, "h", None, None))
+        print(f"-spatially-sharded (H axis) inference over {n_dev} devices")
 
     key = jax.random.key(args.seed)
     t_start = time.time()
@@ -140,9 +152,18 @@ def main(argv=None):
         if mesh is not None:
             grays = jax.device_put(grays, data_sharding)
             colors = jax.device_put(colors, data_sharding)
+        elif spatial_sharding is not None:
+            grays = jax.device_put(grays, spatial_sharding)
+            colors = jax.device_put(colors, spatial_sharding)
         pred_ab, guided, hint_mask, affinity = forward(variables, grays, colors, sub)
         pred_ab = np.asarray(pred_ab, np.float32)
         guided = np.asarray(guided, np.float32)
+        if not np.isfinite(pred_ab).all():
+            print(
+                "@Warning: non-finite prediction values — broken/unconverged "
+                "weights? (outputs will be garbage)",
+                file=sys.stderr,
+            )
         nb = grays_np.shape[0]
         for i in range(nb):
             if names[i] is None:  # batch-padding tail

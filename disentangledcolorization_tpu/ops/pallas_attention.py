@@ -9,6 +9,13 @@ the same core after the packed qkv projection).
 Used via ``fused_attention(q, k, v, nhead)`` on already-projected per-head
 inputs; the surrounding projections stay in XLA (dense matmuls it handles
 optimally). Runs in interpret mode off-TPU.
+
+RETIRED from the production path — measured on v5e (tools/pallas_bench.py,
+scan-chain amortized, batch 16 x 256 tokens x 64 dims x 8 heads):
+XLA core < ~5 us/call (below subtraction noise), this kernel 136.6 us/call.
+At 256x64 the whole attention fits one MXU pass and XLA's fusion is already
+optimal; the per-head Python loop here serializes 8 tiny matmuls. Kept as a
+correctness-tested reference implementation only (test_pallas.py).
 """
 
 from __future__ import annotations

@@ -6,6 +6,12 @@ basic.py:177-194) into one VMEM pass per row-block: squared distances to the
 and a compare-based scatter into the 313-way soft label — no intermediate HBM
 round trips. Runs in interpret mode off-TPU; tests assert exact agreement with
 the jnp implementation.
+
+IN PRODUCTION: ``ops.colorlabel.encode_ab2ind(backend='auto')`` dispatches
+here on TPU. Measured on v5e (tools/pallas_bench.py, scan-chain amortized):
+
+    shape (16,16,16,2)  [GT token labels, one train step]:  XLA 404.3 us -> 121.6 us (3.3x)
+    shape (4,256,256,2) [full-res encodes]:                 XLA 30.4 ms -> 10.0 ms (3.0x)
 """
 
 from __future__ import annotations

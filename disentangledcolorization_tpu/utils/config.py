@@ -102,6 +102,12 @@ def inference_argparser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--trace_dir", type=str, default="", help="jax.profiler trace output dir")
     p.add_argument(
+        "--shard_spatial", action="store_true", default=False,
+        help="no_resize: shard the image H axis over all devices (GSPMD halo "
+        "exchange) — the context-parallel analog for huge inputs that do not "
+        "fit one chip's HBM",
+    )
+    p.add_argument(
         "--bucket", default=16, type=int,
         help="no_resize: pad H,W up to multiples of this (16 = exact reference "
         "semantics; 64/128 trade extra edge padding for far fewer jit recompiles)",

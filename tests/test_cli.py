@@ -73,6 +73,19 @@ def test_infer_cli_no_resize_and_diverse(tmp_path, tiny_imgs):
     assert img.shape[:2] == (48, 40)
 
 
+def test_infer_cli_shard_spatial_matches_replicated(tmp_path, tiny_imgs):
+    """--shard_spatial (H-axis GSPMD sharding for huge no_resize inputs) must
+    reproduce the single-device output up to fp reduce-order noise."""
+    import cv2
+
+    d_ref = _run_infer(tmp_path / "a", tiny_imgs, ["--no_resize"])
+    d_sh = _run_infer(tmp_path / "b", tiny_imgs, ["--no_resize", "--shard_spatial"])
+    for name in ("im0.png", "im1.png"):
+        ref = cv2.imread(os.path.join(d_ref, name)).astype(np.int16)
+        sh = cv2.imread(os.path.join(d_sh, name)).astype(np.int16)
+        assert np.abs(ref - sh).max() <= 1, name
+
+
 def test_infer_spixel_cli(tmp_path, tiny_imgs, monkeypatch):
     from disentangledcolorization_tpu.cli import infer_spixel
 
