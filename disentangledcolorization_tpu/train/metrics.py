@@ -43,8 +43,16 @@ def ssim(img_a: jnp.ndarray, img_b: jnp.ndarray, window: int = 11, max_val: floa
         kern = kern.at[:, :, i, i].set(kern2d)
 
     def filt(x):
+        # precision="highest": TPU's default bf16 conv multiplies make
+        # filt(x*x) - mu**2 cancel catastrophically (bf16 eps ~8e-3 >> c2),
+        # which drove SSIM below -1 on real images (observed -22/image)
         return jax.lax.conv_general_dilated(
-            x, kern, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            x,
+            kern,
+            (1, 1),
+            "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     k1, k2 = 0.01, 0.03
