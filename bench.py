@@ -61,9 +61,18 @@ def main():
     rng = np.random.default_rng(0)
     grays = jnp.asarray(rng.uniform(-1, 1, (BATCH, H, W, 1)).astype(np.float32))
     colors = jnp.zeros((BATCH, H, W, 2), jnp.float32)
-    variables = model.init(
-        {"params": jax.random.key(0), "anchor": jax.random.key(1)}, grays, colors, True, 0, False
+    # jitted batch-1 init: param shapes are batch-independent, and eager init
+    # through the axon tunnel costs ~230 s of per-op round trips vs ~20 s for
+    # one compiled call
+    variables = jax.jit(model.init, static_argnums=(3, 4, 5))(
+        {"params": jax.random.key(0), "anchor": jax.random.key(1)},
+        grays[:1],
+        colors[:1],
+        True,
+        0,
+        False,
     )
+    jax.block_until_ready(variables)
 
     def one_forward(g, key):
         out = model.apply(variables, g, colors, True, 0, False, rngs={"anchor": key})
@@ -111,9 +120,11 @@ def main():
     per_forward = max((dN - d1) / ITERS, 1e-9)
     img_per_s = BATCH / per_forward
 
-    # honesty check: achieved FLOP rate vs hardware peak
+    # honesty check: achieved FLOP rate vs hardware peak. Reuse the already-
+    # compiled 1-iteration chain (= one forward + scalar epsilon) instead of
+    # paying another full lower+compile through the tunnel.
     try:
-        cost = jax.jit(one_forward).lower(grays, jax.random.key(2)).compile().cost_analysis()
+        cost = f1.lower(jax.random.key(2)).compile().cost_analysis()
         flops_per_batch = float(cost.get("flops", 0.0))
     except Exception as e:  # noqa: BLE001
         print(f"# cost analysis unavailable ({type(e).__name__})", file=sys.stderr)

@@ -98,9 +98,12 @@ class AnchorColorProb(nn.Module):
         cdt = self.compute_dtype
         grays_c = input_grays.astype(cdt)
 
-        # frozen superpixel net: always eval-mode, gradients cut (model.py:78-87)
+        # frozen superpixel net: always eval-mode, gradients cut (model.py:78-87).
+        # The affinity stays in compute dtype: forcing f32 here cost a ~2 ms
+        # full-res convert + doubled the segnet-tail write on the bf16 TPU path
+        # (trace-measured); the pool einsum promotes to f32 internally anyway.
         affinity_map = SpixelSeg(batch_norm=True, train=False, name="segnet")(grays_c)
-        affinity_map = jax.lax.stop_gradient(affinity_map).astype(jnp.float32)
+        affinity_map = jax.lax.stop_gradient(affinity_map)
         pred_feats = ColorProbNet(
             out_channels=d, train=train, sn_folded=self.sn_folded, name="repnet"
         )(grays_c).astype(jnp.float32)
@@ -110,13 +113,13 @@ class AnchorColorProb(nn.Module):
             full_pos = sine_position_encoding(h, w, d // 2, dtype=pred_feats.dtype)
             full_pos = jnp.broadcast_to(full_pos[None], (n, h, w, d))
             proxy = jnp.concatenate([pred_feats, input_colors, full_pos], axis=-1)
-            pooled, _ = sp.poolfeat(proxy, affinity_map, spn, spn, True)
+            pooled, _, spixel_sizes = sp.pool_and_sizes(proxy, affinity_map, spn, spn)
             feat_tokens = pooled[..., :d]
             spix_colors = pooled[..., d : d + 2]
             pos_feats = pooled[..., d + 2 :]
         else:
             proxy = jnp.concatenate([pred_feats, input_colors], axis=-1)
-            pooled, _ = sp.poolfeat(proxy, affinity_map, spn, spn, True)
+            pooled, _, spixel_sizes = sp.pool_and_sizes(proxy, affinity_map, spn, spn)
             feat_tokens = pooled[..., :d]
             spix_colors = pooled[..., d:]
             if self.learning_pos:
@@ -129,7 +132,6 @@ class AnchorColorProb(nn.Module):
                 pos_feats = jnp.broadcast_to(pos_feats[None], (n, hc, wc, d))
 
         token_labels = cl.nearest_bin_index(spix_colors)  # (N, hc, wc)
-        spixel_sizes = sp.get_spixel_size(affinity_map, spn, spn)
 
         if self.use_mask:
             empty = spixel_sizes < (25.0 / (spn * spn))
@@ -227,7 +229,7 @@ class AnchorColorProb(nn.Module):
         pred_colors = None
         if self.enhanced:
             proc_feats = dec_out.reshape(n, hc, wc, d).astype(cdt)
-            full_feats = sp.upfeat(proc_feats, affinity_map.astype(cdt), spn, spn)
+            full_feats = sp.upfeat_auto(proc_feats, affinity_map, spn, spn)
             enh_in = jnp.concatenate([input_grays.astype(cdt), full_feats], axis=-1)
             pred_colors = HourGlass2(
                 out_channels=2,

@@ -106,6 +106,173 @@ def upfeat(tokens: jnp.ndarray, prob: jnp.ndarray, up_h: int = 16, up_w: int = 1
     return out.reshape(n, hc * up_h, wc * up_w, c).astype(tokens.dtype)
 
 
+def _pool_and_sizes_xla(feat: jnp.ndarray, prob: jnp.ndarray, sp_h: int, sp_w: int):
+    pooled, mass = poolfeat(feat, prob, sp_h, sp_w, need_entry_prob=True)
+    sizes = get_spixel_size(prob, sp_h, sp_w)
+    return pooled, mass, sizes
+
+
+def _pool_and_sizes_v2(feat: jnp.ndarray, prob: jnp.ndarray, sp_h: int, sp_w: int):
+    """Copy-free TPU formulation: per-direction elementwise product + block
+    reduction on the native NHWC layout.
+
+    The einsum formulation's dot_general imposes canonical operand layouts, so
+    in the full forward graph XLA inserts multi-millisecond relayout copies of
+    the 6-D blocked tensors (trace-measured: copy.1466/1532/1562 at ~1.2 ms
+    each, batch 16). An elementwise multiply + reduce over the (p, q) block
+    axes has no layout constraint — XLA fuses it straight into the producers
+    with zero copies. Numerics identical to f32 round-off (same f32 products,
+    different reduction tree).
+    """
+    n, h, w, c = feat.shape
+    hc, wc = h // sp_h, w // sp_w
+    f32 = jnp.float32
+    ones = jnp.ones((n, h, w, 1), dtype=feat.dtype)
+    fb = _block(jnp.concatenate([feat, ones], axis=-1), sp_h, sp_w).astype(f32)
+    pb = _block(prob, sp_h, sp_w).astype(f32)
+    norm = 1.0 / (sp_h * sp_w)
+    # (N, hc, wc, 9, C+1) per-direction soft sums — 9 fused multiply-reduces
+    t = jnp.stack(
+        [(pb[..., d : d + 1] * fb).sum(axis=(2, 4)) * norm for d in range(9)], axis=3
+    )
+    # winner-take-all counts for spixel sizes, single fused reduce
+    hard = (prob == jnp.max(prob, axis=-1, keepdims=True)).astype(f32)
+    hard_t = _block(hard, sp_h, sp_w).sum(axis=(2, 4)) * norm  # (N, hc, wc, 9)
+
+    tp = jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    hp = jnp.pad(hard_t, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    hacc = None
+    for d, (dy, dx) in enumerate(_OFFSETS):
+        sl = tp[:, 1 - dy : 1 - dy + hc, 1 - dx : 1 - dx + wc, d]
+        hl = hp[:, 1 - dy : 1 - dy + hc, 1 - dx : 1 - dx + wc, d]
+        acc = sl if acc is None else acc + sl
+        hacc = hl if hacc is None else hacc + hl
+    feat_sum, mass_sum = acc[..., :c], acc[..., c:]
+    pooled = (feat_sum / (mass_sum + 1e-8)).astype(feat.dtype)
+    return pooled, mass_sum.astype(feat.dtype), hacc[..., None].astype(feat.dtype)
+
+
+def _upfeat_v2(tokens: jnp.ndarray, prob: jnp.ndarray, up_h: int, up_w: int) -> jnp.ndarray:
+    """Copy-free upfeat: 9-term broadcast multiply-accumulate, one fused pass.
+
+    No dot_general -> no layout constraint -> no 6-D relayout copies (see
+    _pool_and_sizes_v2). The nearest-upsample of each shifted token grid is a
+    broadcast inside the fusion; XLA emits a single output-sized loop.
+    """
+    n, hc, wc, c = tokens.shape
+    f32 = jnp.float32
+    tp = jnp.pad(tokens.astype(f32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    pb = _block(prob, up_h, up_w).astype(f32)  # (N, hc, p, wc, q, 9)
+    out = None
+    for d, (dy, dx) in enumerate(_OFFSETS):
+        tok_d = tp[:, 1 + dy : 1 + dy + hc, 1 + dx : 1 + dx + wc, :]  # (N, hc, wc, C)
+        term = pb[..., d : d + 1] * tok_d[:, :, None, :, None, :]
+        out = term if out is None else out + term
+    return out.reshape(n, hc * up_h, wc * up_w, c).astype(tokens.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _pool_and_sizes_fused(feat: jnp.ndarray, prob: jnp.ndarray, sp_h: int, sp_w: int):
+    from . import pallas_superpixel as psp
+
+    pooled, mass = psp.poolfeat(feat, prob, sp_h, sp_w, need_entry_prob=True)
+    hard = hard_assignment(prob)
+    ones = jnp.ones(prob.shape[:3] + (1,), dtype=prob.dtype)
+    _, sizes = psp.poolfeat(ones, hard, sp_h, sp_w, need_entry_prob=True)
+    return pooled, mass, sizes
+
+
+def _pool_and_sizes_fwd(feat, prob, sp_h, sp_w):
+    return _pool_and_sizes_fused(feat, prob, sp_h, sp_w), (feat, prob)
+
+
+def _pool_and_sizes_bwd(sp_h, sp_w, res, cotangents):
+    # backward through the XLA formulation (identical math to f32 round-off);
+    # the Pallas kernel is a forward-only fusion
+    feat, prob = res
+    _, vjp = jax.vjp(lambda f, p: _pool_and_sizes_xla(f, p, sp_h, sp_w), feat, prob)
+    return vjp(cotangents)
+
+
+_pool_and_sizes_fused.defvjp(_pool_and_sizes_fwd, _pool_and_sizes_bwd)
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        import os
+
+        backend = os.environ.get("DISCO_SUPERPIXEL_BACKEND", "auto")
+    return backend
+
+
+def pool_and_sizes(
+    feat: jnp.ndarray,
+    prob: jnp.ndarray,
+    sp_h: int = 16,
+    sp_w: int = 16,
+    backend: str = "auto",
+):
+    """Fused poolfeat(need_entry_prob=True) + get_spixel_size sharing one pass.
+
+    Returns (pooled (N,hc,wc,C), mass (N,hc,wc,1), sizes (N,hc,wc,1)).
+
+    backend 'auto' = the blocked-einsum formulation ('xla') everywhere: it is
+    the measured winner. Full-forward A/B on v5e (batch 16, 256x256, bf16,
+    chained-scan methodology, 2026-08-17):
+
+        einsum ('xla', default)          56.6 ms/fwd   282.6 img/s   <- winner
+        multiply-reduce ('v2')           72.6 ms/fwd   220.5 img/s
+        Pallas dot-per-cell ('pallas')   76.3 ms/fwd   209.8 img/s
+        Pallas per-direction VPU         ~2 s/fwd      (retired outright)
+
+    The trace shows the einsum path pays ~4 ms of 6-D relayout copies, but
+    every alternative that avoids them loses more elsewhere (v2's reduce tree
+    and the Pallas kernels' DMA/serialization both cost more than the
+    copies). All paths differentiate. DISCO_SUPERPIXEL_BACKEND overrides
+    'auto' — diagnostic / kill switch.
+    """
+    backend = _resolve_backend(backend)
+    if backend == "pallas":
+        return _pool_and_sizes_fused(feat, prob, sp_h, sp_w)
+    if backend == "v2":
+        return _pool_and_sizes_v2(feat, prob, sp_h, sp_w)
+    return _pool_and_sizes_xla(feat, prob, sp_h, sp_w)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _upfeat_fused(tokens: jnp.ndarray, prob: jnp.ndarray, up_h: int, up_w: int):
+    from . import pallas_superpixel as psp
+
+    return psp.upfeat(tokens, prob, up_h, up_w)
+
+
+def _upfeat_fused_fwd(tokens, prob, up_h, up_w):
+    return _upfeat_fused(tokens, prob, up_h, up_w), (tokens, prob)
+
+
+def _upfeat_fused_bwd(up_h, up_w, res, g):
+    tokens, prob = res
+    _, vjp = jax.vjp(lambda t, p: upfeat(t, p, up_h, up_w), tokens, prob)
+    return vjp(g)
+
+
+_upfeat_fused.defvjp(_upfeat_fused_fwd, _upfeat_fused_bwd)
+
+
+def upfeat_auto(
+    tokens: jnp.ndarray, prob: jnp.ndarray, up_h: int = 16, up_w: int = 16, backend: str = "auto"
+):
+    """upfeat with backend dispatch (same contract and measured verdict as
+    pool_and_sizes: the einsum formulation wins on TPU; see its docstring)."""
+    backend = _resolve_backend(backend)
+    if backend == "pallas":
+        return _upfeat_fused(tokens, prob, up_h, up_w)
+    if backend == "v2":
+        return _upfeat_v2(tokens, prob, up_h, up_w)
+    return upfeat(tokens, prob, up_h, up_w)
+
+
 def hard_assignment(prob: jnp.ndarray) -> jnp.ndarray:
     """Winner-take-all over the 9 affinity channels; ties keep every winner at 1.
 
