@@ -36,7 +36,8 @@ import numpy as np
 TORCH_CPU_BASELINE_IMG_PER_S = 0.32
 V5E_BF16_PEAK_TFLOPS = 197.0
 
-BATCH = 16  # sweet spot on v5e: 2x the batch-8 throughput at equal latency
+BATCH = 32  # sweet spot on v5e (round-2 sweep: b8 295, b16 299, b32 331 img/s;
+# the round-1 "batch-24/32 cliff" did not reproduce after the f32-affinity fix)
 H = W = 256
 ITERS = 12
 

@@ -36,9 +36,16 @@ def capture(batch: int, outdir: str, iters: int = 4) -> None:
     rng = np.random.default_rng(0)
     grays = jnp.asarray(rng.uniform(-1, 1, (batch, H, W, 1)).astype(np.float32))
     colors = jnp.zeros((batch, H, W, 2), jnp.float32)
-    variables = model.init(
-        {"params": jax.random.key(0), "anchor": jax.random.key(1)}, grays, colors, True, 0, False
+    # jitted batch-1 init: eager init costs ~230 s of per-op tunnel round trips
+    variables = jax.jit(model.init, static_argnums=(3, 4, 5))(
+        {"params": jax.random.key(0), "anchor": jax.random.key(1)},
+        grays[:1],
+        colors[:1],
+        True,
+        0,
+        False,
     )
+    jax.block_until_ready(variables)
 
     @jax.jit
     def fwd(g, key):
@@ -52,41 +59,50 @@ def capture(batch: int, outdir: str, iters: int = 4) -> None:
             float(fwd(grays + 0.001 * i, jax.random.key(3 + i)).mean())
 
 
-def summarize(outdir: str, top: int = 40) -> None:
-    """Parse the .xplane.pb with tensorboard_plugin_profile and print op table."""
-    planes = glob.glob(os.path.join(outdir, "**", "*.xplane.pb"), recursive=True)
-    if not planes:
-        print("no xplane.pb found", file=sys.stderr)
+def summarize(outdir: str, top: int = 40, runs: int = 4) -> None:
+    """Aggregate XLA-op self-times from the chrome trace json.
+
+    (tensorboard_plugin_profile's converter is broken in this env — protobuf
+    descriptor mismatch — so parse the .trace.json.gz the profiler also
+    writes.)
+    """
+    import collections
+
+    traces = glob.glob(os.path.join(outdir, "**", "*.trace.json.gz"), recursive=True)
+    if not traces:
+        print("no trace.json.gz found", file=sys.stderr)
         return
-    plane = max(planes, key=os.path.getmtime)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-
-    data, _ = rtd.xspace_to_tool_data([plane], "hlo_op_profile", {})
-    if isinstance(data, bytes):
-        data = data.decode()
-    prof = json.loads(data)
-
-    # The op_profile JSON is a tree: byProgram -> children. Walk leaves.
-    rows = []
-
-    def walk(node, path):
-        ch = node.get("children", [])
-        m = node.get("metrics", {})
-        name = node.get("name", "?")
-        if not ch and m:
-            rows.append((m.get("time", 0.0), name, path))
-        for c in ch:
-            walk(c, path + "/" + name)
-
-    walk(prof.get("byProgram", prof), "")
-    rows.sort(reverse=True)
-    total = sum(r[0] for r in rows)
-    print(f"{'self%':>7}  op")
+    with gzip.open(max(traces, key=os.path.getmtime)) as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    pids, tids = {}, {}
+    for e in ev:
+        if e.get("ph") == "M":
+            if e.get("name") == "process_name":
+                pids[e["pid"]] = e["args"].get("name", "")
+            if e.get("name") == "thread_name":
+                tids[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    ops = [
+        e
+        for e in ev
+        if e.get("ph") == "X"
+        and pids.get(e["pid"], "").startswith("/device:TPU")
+        and tids.get((e["pid"], e.get("tid"))) == "XLA Ops"
+    ]
+    agg = collections.defaultdict(float)
+    args = {}
+    for e in ops:
+        agg[e["name"]] += e["dur"]
+        args.setdefault(e["name"], e.get("args", {}))
+    total = sum(agg.values())
+    print(f"total device op time: {total/1e3/runs:.2f} ms/run over {runs} runs")
+    rows = sorted(agg.items(), key=lambda x: -x[1])
     acc = 0.0
-    for t, name, _ in rows[:top]:
-        acc += t
-        print(f"{100*t/total:6.2f}%  {name[:130]}")
-    print(f"(top {top} = {100*acc/total:.1f}% of total)")
+    for n, d in rows[:top]:
+        acc += d
+        src = args[n].get("tf_op", "") or ""
+        print(f"{d/1e3/runs:8.3f} ms  {n[:30]:30s} {src[:90]}")
+    print(f"(top {top} = {100*acc/total:.1f}% of device time)")
 
 
 def main():
