@@ -34,6 +34,7 @@ from ..ops import superpixel as sp
 from . import anchor
 from .colorprobnet import ColorProbNet
 from .hourglass import HourGlass2
+from . import spixelnet_s2d
 from .position import PositionEmbeddingLearned, sine_position_encoding
 from .spixelnet import SpixelSeg
 from .transformer import TransformerEncoder
@@ -59,6 +60,7 @@ class AnchorColorProb(nn.Module):
     dropout: float = 0.1
     sn_folded: bool = False
     compute_dtype: Any = jnp.float32  # bf16 runs the conv nets in bfloat16
+    fast_seg: bool = False  # space-to-depth segnet stages (weight-exact; TPU inference)
 
     @nn.compact
     def __call__(
@@ -102,24 +104,51 @@ class AnchorColorProb(nn.Module):
         # The affinity stays in compute dtype: forcing f32 here cost a ~2 ms
         # full-res convert + doubled the segnet-tail write on the bf16 TPU path
         # (trace-measured); the pool einsum promotes to f32 internally anyway.
-        affinity_map = SpixelSeg(batch_norm=True, train=False, name="segnet")(grays_c)
+        seg = SpixelSeg(batch_norm=True, train=False, name="segnet")
+        if self.fast_seg:
+            # materialize the (input-size-independent) segnet params with a
+            # tiny dummy call, then run the space-to-depth forward — same
+            # parameters, lane-efficient layout (models/spixelnet_s2d.py);
+            # XLA dead-code-eliminates the dummy compute
+            _ = seg(jnp.zeros((1, 32, 32, 1), cdt))
+            affinity_map = spixelnet_s2d.apply_s2d(seg.variables, grays_c)
+        else:
+            affinity_map = seg(grays_c)
         affinity_map = jax.lax.stop_gradient(affinity_map)
+        # precise pooling (f32 operands) when computing in f32 — the exact
+        # reference numerics used by every parity test. On the bf16 path the
+        # activations are already bf16-rounded, so the pool runs with bf16
+        # operands + f32 accumulation, halving the 6-D blocked-relayout
+        # traffic (the dominant pool cost, see ops/superpixel.py).
+        precise = jnp.dtype(cdt) == jnp.dtype(jnp.float32)
         pred_feats = ColorProbNet(
             out_channels=d, train=train, sn_folded=self.sn_folded, name="repnet"
-        )(grays_c).astype(jnp.float32)
+        )(grays_c)
+        if precise:
+            pred_feats = pred_feats.astype(jnp.float32)
 
         if self.spix_pos:
             # full-resolution (x, y)-aware positions pooled with the features
             full_pos = sine_position_encoding(h, w, d // 2, dtype=pred_feats.dtype)
             full_pos = jnp.broadcast_to(full_pos[None], (n, h, w, d))
-            proxy = jnp.concatenate([pred_feats, input_colors, full_pos], axis=-1)
-            pooled, _, spixel_sizes = sp.pool_and_sizes(proxy, affinity_map, spn, spn)
+            proxy = jnp.concatenate(
+                [pred_feats, input_colors.astype(pred_feats.dtype), full_pos], axis=-1
+            )
+            pooled, _, spixel_sizes = sp.pool_and_sizes(
+                proxy, affinity_map, spn, spn, precise=precise
+            )
+            pooled = pooled.astype(jnp.float32)
             feat_tokens = pooled[..., :d]
             spix_colors = pooled[..., d : d + 2]
             pos_feats = pooled[..., d + 2 :]
         else:
-            proxy = jnp.concatenate([pred_feats, input_colors], axis=-1)
-            pooled, _, spixel_sizes = sp.pool_and_sizes(proxy, affinity_map, spn, spn)
+            proxy = jnp.concatenate(
+                [pred_feats, input_colors.astype(pred_feats.dtype)], axis=-1
+            )
+            pooled, _, spixel_sizes = sp.pool_and_sizes(
+                proxy, affinity_map, spn, spn, precise=precise
+            )
+            pooled = pooled.astype(jnp.float32)
             feat_tokens = pooled[..., :d]
             spix_colors = pooled[..., d:]
             if self.learning_pos:
@@ -229,7 +258,7 @@ class AnchorColorProb(nn.Module):
         pred_colors = None
         if self.enhanced:
             proc_feats = dec_out.reshape(n, hc, wc, d).astype(cdt)
-            full_feats = sp.upfeat_auto(proc_feats, affinity_map, spn, spn)
+            full_feats = sp.upfeat_auto(proc_feats, affinity_map, spn, spn, precise=precise)
             enh_in = jnp.concatenate([input_grays.astype(cdt), full_feats], axis=-1)
             pred_colors = HourGlass2(
                 out_channels=2,

@@ -36,13 +36,14 @@ def _block(x: jnp.ndarray, sp_h: int, sp_w: int) -> jnp.ndarray:
     return x.reshape(n, h // sp_h, sp_h, w // sp_w, sp_w, c)
 
 
-@partial(jax.jit, static_argnames=("sp_h", "sp_w", "need_entry_prob"))
+@partial(jax.jit, static_argnames=("sp_h", "sp_w", "need_entry_prob", "precise"))
 def poolfeat(
     feat: jnp.ndarray,
     prob: jnp.ndarray,
     sp_h: int = 16,
     sp_w: int = 16,
     need_entry_prob: bool = False,
+    precise: bool = True,
 ):
     """Soft-pool pixel features onto the superpixel token grid.
 
@@ -52,22 +53,31 @@ def poolfeat(
         of its 9 neighboring cells (softmax over the 9 channels).
       sp_h, sp_w: superpixel cell size.
       need_entry_prob: also return the per-token soft mass (N, H/sp, W/sp, 1).
+      precise: True promotes operands to f32 before the contraction (exact
+        reference numerics). False keeps bf16 operands with f32 accumulation
+        (preferred_element_type) — halves the traffic of the 6-D blocked
+        relayouts on the TPU bf16 inference path, where the activations were
+        already bf16-rounded upstream.
 
     Returns:
       (N, H/sp_h, W/sp_w, C) pooled features (and optionally the mass).
     """
     n, h, w, c = feat.shape
     hc, wc = h // sp_h, w // sp_w
-    compute_dtype = jnp.promote_types(feat.dtype, jnp.float32)
+    compute_dtype = (
+        jnp.promote_types(feat.dtype, jnp.float32) if precise else feat.dtype
+    )
     ones = jnp.ones((n, h, w, 1), dtype=feat.dtype)
     f1 = jnp.concatenate([feat, ones], axis=-1)
     fb = _block(f1, sp_h, sp_w).astype(compute_dtype)
     pb = _block(prob, sp_h, sp_w).astype(compute_dtype)
     # per-cell, per-direction soft means: (N, Hc, Wc, 9, C+1)
-    t = jnp.einsum("nhpwqd,nhpwqc->nhwdc", pb, fb) / (sp_h * sp_w)
+    t = jnp.einsum(
+        "nhpwqd,nhpwqc->nhwdc", pb, fb, preferred_element_type=jnp.float32
+    ) / (sp_h * sp_w)
     # superpixel (i, j) accumulates direction d from cell (i, j) - off_d
     tp = jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
-    acc = jnp.zeros((n, hc, wc, c + 1), dtype=compute_dtype)
+    acc = jnp.zeros((n, hc, wc, c + 1), dtype=t.dtype)
     for d, (dy, dx) in enumerate(_OFFSETS):
         acc = acc + jax.lax.dynamic_slice(
             tp[..., d, :], (0, 1 - dy, 1 - dx, 0), (n, hc, wc, c + 1)
@@ -79,19 +89,28 @@ def poolfeat(
     return pooled
 
 
-@partial(jax.jit, static_argnames=("up_h", "up_w"))
-def upfeat(tokens: jnp.ndarray, prob: jnp.ndarray, up_h: int = 16, up_w: int = 16) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("up_h", "up_w", "precise"))
+def upfeat(
+    tokens: jnp.ndarray,
+    prob: jnp.ndarray,
+    up_h: int = 16,
+    up_w: int = 16,
+    precise: bool = True,
+) -> jnp.ndarray:
     """Soft-unpool superpixel tokens back to pixels.
 
     Args:
       tokens: (N, Hc, Wc, C) token-grid features.
       prob: (N, Hc*up_h, Wc*up_w, 9) pixel-to-neighbor-superpixel affinity.
+      precise: see poolfeat — False keeps bf16 operands w/ f32 accumulation.
 
     Returns:
       (N, Hc*up_h, Wc*up_w, C) per-pixel mixture of the 9 neighboring tokens.
     """
     n, hc, wc, c = tokens.shape
-    compute_dtype = jnp.promote_types(tokens.dtype, jnp.float32)
+    compute_dtype = (
+        jnp.promote_types(tokens.dtype, jnp.float32) if precise else tokens.dtype
+    )
     tp = jnp.pad(tokens, ((0, 0), (1, 1), (1, 1), (0, 0)))
     # neighbor stack: S[n, i, j, d, c] = tokens[i + dy_d, j + dx_d] (zeros outside)
     s = jnp.stack(
@@ -102,13 +121,15 @@ def upfeat(tokens: jnp.ndarray, prob: jnp.ndarray, up_h: int = 16, up_w: int = 1
         axis=3,
     ).astype(compute_dtype)
     pb = _block(prob, up_h, up_w).astype(compute_dtype)
-    out = jnp.einsum("nhpwqd,nhwdc->nhpwqc", pb, s)
+    out = jnp.einsum("nhpwqd,nhwdc->nhpwqc", pb, s, preferred_element_type=jnp.float32)
     return out.reshape(n, hc * up_h, wc * up_w, c).astype(tokens.dtype)
 
 
-def _pool_and_sizes_xla(feat: jnp.ndarray, prob: jnp.ndarray, sp_h: int, sp_w: int):
-    pooled, mass = poolfeat(feat, prob, sp_h, sp_w, need_entry_prob=True)
-    sizes = get_spixel_size(prob, sp_h, sp_w)
+def _pool_and_sizes_xla(
+    feat: jnp.ndarray, prob: jnp.ndarray, sp_h: int, sp_w: int, precise: bool = True
+):
+    pooled, mass = poolfeat(feat, prob, sp_h, sp_w, need_entry_prob=True, precise=precise)
+    sizes = get_spixel_size(prob, sp_h, sp_w, precise=precise)
     return pooled, mass, sizes
 
 
@@ -212,6 +233,7 @@ def pool_and_sizes(
     sp_h: int = 16,
     sp_w: int = 16,
     backend: str = "auto",
+    precise: bool = True,
 ):
     """Fused poolfeat(need_entry_prob=True) + get_spixel_size sharing one pass.
 
@@ -237,7 +259,7 @@ def pool_and_sizes(
         return _pool_and_sizes_fused(feat, prob, sp_h, sp_w)
     if backend == "v2":
         return _pool_and_sizes_v2(feat, prob, sp_h, sp_w)
-    return _pool_and_sizes_xla(feat, prob, sp_h, sp_w)
+    return _pool_and_sizes_xla(feat, prob, sp_h, sp_w, precise=precise)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -261,7 +283,12 @@ _upfeat_fused.defvjp(_upfeat_fused_fwd, _upfeat_fused_bwd)
 
 
 def upfeat_auto(
-    tokens: jnp.ndarray, prob: jnp.ndarray, up_h: int = 16, up_w: int = 16, backend: str = "auto"
+    tokens: jnp.ndarray,
+    prob: jnp.ndarray,
+    up_h: int = 16,
+    up_w: int = 16,
+    backend: str = "auto",
+    precise: bool = True,
 ):
     """upfeat with backend dispatch (same contract and measured verdict as
     pool_and_sizes: the einsum formulation wins on TPU; see its docstring)."""
@@ -270,7 +297,7 @@ def upfeat_auto(
         return _upfeat_fused(tokens, prob, up_h, up_w)
     if backend == "v2":
         return _upfeat_v2(tokens, prob, up_h, up_w)
-    return upfeat(tokens, prob, up_h, up_w)
+    return upfeat(tokens, prob, up_h, up_w, precise=precise)
 
 
 def hard_assignment(prob: jnp.ndarray) -> jnp.ndarray:
@@ -282,8 +309,10 @@ def hard_assignment(prob: jnp.ndarray) -> jnp.ndarray:
     return (prob == amax).astype(prob.dtype)
 
 
-@partial(jax.jit, static_argnames=("sp_h", "sp_w"))
-def get_spixel_size(affinity_map: jnp.ndarray, sp_h: int = 16, sp_w: int = 16) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("sp_h", "sp_w", "precise"))
+def get_spixel_size(
+    affinity_map: jnp.ndarray, sp_h: int = 16, sp_w: int = 16, precise: bool = True
+) -> jnp.ndarray:
     """Relative superpixel sizes (N, H/sp, W/sp, 1) in [0, ~1].
 
     Winner-take-all hardening of the affinity, then the soft mass of a poolfeat

@@ -161,3 +161,45 @@ def test_mha_matches_torch(reference_modules):
     xb = jnp.asarray(x.transpose(1, 0, 2))  # (N, T, C)
     y, _ = m.apply({"params": params}, xb, xb, xb)
     np.testing.assert_allclose(np.asarray(y).transpose(1, 0, 2), ref, atol=2e-5)
+
+
+def test_spixelnet_s2d_matches_standard():
+    """Space-to-depth SpixelSeg forward (models/spixelnet_s2d.py) is a
+    weight-exact relayout: identical affinity to f32 round-off, including
+    non-square inputs and every boundary phase."""
+    from disentangledcolorization_tpu.models import spixelnet_s2d as ss
+    from disentangledcolorization_tpu.models.spixelnet import SpixelSeg
+
+    rng = np.random.default_rng(0)
+    for shape in [(2, 64, 48, 1), (1, 32, 32, 1)]:
+        x = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
+        seg = SpixelSeg(batch_norm=True, train=False)
+        variables = seg.init(jax.random.key(0), x)
+        ref = np.asarray(seg.apply(variables, x))
+        fast = np.asarray(ss.apply_s2d(variables, x))
+        np.testing.assert_allclose(fast, ref, atol=2e-6)
+        assert not (np.argmax(ref, -1) != np.argmax(fast, -1)).any()
+
+
+def test_disco_fast_seg_matches_default():
+    """AnchorColorProb(fast_seg=True) reproduces the default forward at f32
+    (same params via the dummy-materialization path)."""
+    from disentangledcolorization_tpu.models import AnchorColorProb
+
+    rng = np.random.default_rng(1)
+    grays = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 1)).astype(np.float32))
+    colors = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 2)).astype(np.float32))
+    kw = dict(sp_size=16, n_clusters=2, enhanced=True)
+    m0 = AnchorColorProb(fast_seg=False, **kw)
+    m1 = AnchorColorProb(fast_seg=True, **kw)
+    keys = {"params": jax.random.key(0), "anchor": jax.random.key(1)}
+    v0 = m0.init(keys, grays, colors, True, 0, False)
+    out0 = m0.apply(v0, grays, colors, True, 0, False, rngs={"anchor": jax.random.key(2)})
+    # same variable tree (dummy call materializes identical param structure)
+    out1 = m1.apply(v0, grays, colors, True, 0, False, rngs={"anchor": jax.random.key(2)})
+    np.testing.assert_allclose(
+        np.asarray(out1["affinity_map"]), np.asarray(out0["affinity_map"]), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1["pred_colors"]), np.asarray(out0["pred_colors"]), atol=1e-4
+    )
