@@ -116,11 +116,14 @@ class AnchorColorProb(nn.Module):
             affinity_map = seg(grays_c)
         affinity_map = jax.lax.stop_gradient(affinity_map)
         # precise pooling (f32 operands) when computing in f32 — the exact
-        # reference numerics used by every parity test. On the bf16 path the
-        # activations are already bf16-rounded, so the pool runs with bf16
-        # operands + f32 accumulation, halving the 6-D blocked-relayout
-        # traffic (the dominant pool cost, see ops/superpixel.py).
-        precise = jnp.dtype(cdt) == jnp.dtype(jnp.float32)
+        # reference numerics used by every parity test — and always when
+        # test_mode=False: training/validation derive GT token labels from the
+        # pooled colors, and those should not pick up bf16 quantization. At
+        # test time the GT labels are unused (sampled anchors feed the
+        # hintpath), so the bf16 path pools with bf16 operands + f32
+        # accumulation, halving the 6-D blocked-relayout traffic (the dominant
+        # pool cost, see ops/superpixel.py).
+        precise = jnp.dtype(cdt) == jnp.dtype(jnp.float32) or not test_mode
         pred_feats = ColorProbNet(
             out_channels=d, train=train, sn_folded=self.sn_folded, name="repnet"
         )(grays_c)

@@ -64,6 +64,8 @@ def poolfeat(
     """
     n, h, w, c = feat.shape
     hc, wc = h // sp_h, w // sp_w
+    if not precise and jax.default_backend() != "tpu":
+        precise = True  # CPU DotThunk has no BF16 x BF16 -> F32 kernel
     compute_dtype = (
         jnp.promote_types(feat.dtype, jnp.float32) if precise else feat.dtype
     )
@@ -108,6 +110,8 @@ def upfeat(
       (N, Hc*up_h, Wc*up_w, C) per-pixel mixture of the 9 neighboring tokens.
     """
     n, hc, wc, c = tokens.shape
+    if not precise and jax.default_backend() != "tpu":
+        precise = True  # CPU DotThunk has no BF16 x BF16 -> F32 kernel
     compute_dtype = (
         jnp.promote_types(tokens.dtype, jnp.float32) if precise else tokens.dtype
     )

@@ -1,0 +1,110 @@
+"""Colorizer train-step throughput on the attached chip (honest methodology).
+
+Times the full jitted stage-2 train step (forward + backward + adam update +
+BN/spectral mutation) with the same chained-scan methodology as bench.py:
+iteration-dependent inputs, completion forced by a scalar fetch, 1-iteration
+overhead subtracted. Optionally captures a profiler trace.
+
+Run: python tools/bench_train.py [--batch 16] [--dtype bfloat16] [--remat]
+                                 [--trace /tmp/train_trace]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H = W = 256
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--trace", type=str, default="")
+    args = ap.parse_args()
+
+    from disentangledcolorization_tpu.models import AnchorColorProb
+    from disentangledcolorization_tpu.train import losses as L
+    from disentangledcolorization_tpu.train import optim, steps
+    from disentangledcolorization_tpu.train.state import TrainState
+
+    cdt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = AnchorColorProb(
+        sp_size=16, n_clusters=8, enhanced=True, compute_dtype=cdt
+    )
+    rng = np.random.default_rng(0)
+    gray = jnp.asarray(rng.uniform(-1, 1, (args.batch, H, W, 1)).astype(np.float32))
+    color = jnp.asarray(rng.uniform(-1, 1, (args.batch, H, W, 2)).astype(np.float32))
+
+    variables = jax.jit(model.init, static_argnums=(3, 4, 5))(
+        {"params": jax.random.key(0), "anchor": jax.random.key(1), "dropout": jax.random.key(2)},
+        gray[:1],
+        color[:1],
+        False,
+        0,
+        True,
+    )
+    jax.block_until_ready(variables)
+    tx = optim.build_optimizer("adam", 2e-4)
+    state = TrainState.create(variables, tx)
+    loss_bundle = L.AnchorColorProbLoss()
+    step = steps.make_colorizer_train_step(model, loss_bundle, remat=args.remat)
+    step_fn = step.__wrapped__  # un-jitted body for in-graph chaining
+
+    # chain k steps inside one jitted scan (bench.py methodology): the state
+    # is the carry, each iteration's batch depends on the index, completion
+    # is forced by one scalar fetch, and the 1-step chain's round-trip
+    # overhead is subtracted.
+    def chained(k):
+        @jax.jit
+        def f(state0):
+            def body(st, i):
+                batch = {"gray": gray + 0.001 * i.astype(jnp.float32), "color": color}
+                st, metrics = step_fn(st, batch, jax.random.key(3))
+                return st, metrics["totalLoss"]
+
+            stN, losses = jax.lax.scan(body, state0, jnp.arange(k))
+            return losses[-1]
+
+        return f
+
+    f1, fN = chained(1), chained(args.iters + 1)
+
+    def timed(fn, repeat=3):
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            float(fn(state))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    float(f1(state))
+    float(fN(state))  # compile both
+    per_step = (timed(fN) - timed(f1)) / args.iters
+    print(
+        f"train step batch {args.batch} {args.dtype} remat={args.remat}: "
+        f"{per_step*1e3:.1f} ms/step = {args.batch/per_step:.1f} img/s",
+        flush=True,
+    )
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for i in range(3):
+                batch = {"gray": gray + 0.01 * i, "color": color}
+                state, metrics = step(state, batch, jax.random.key(4))
+                float(metrics["totalLoss"])
+        print(f"trace written to {args.trace} (parse with tools/trace_forward.py --summarize_only)")
+
+
+if __name__ == "__main__":
+    main()
