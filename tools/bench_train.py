@@ -98,6 +98,10 @@ def main():
         flush=True,
     )
     if args.trace:
+        # compile the standalone step OUTSIDE the trace (a compile inside the
+        # session floods the event buffer and drops the device op events)
+        state, metrics = step(state, {"gray": gray, "color": color}, jax.random.key(4))
+        float(metrics["totalLoss"])
         with jax.profiler.trace(args.trace):
             for i in range(3):
                 batch = {"gray": gray + 0.01 * i, "color": color}
