@@ -12,6 +12,8 @@ Convs are (conv + BN + leaky 0.1) when batch_norm else (conv+bias + leaky 0.1)
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -76,19 +78,28 @@ class SpixelNet(nn.Module):
         up0 = _DeconvUnit(16, name="deconv0")(c1)
         c0 = _ConvUnit(16, 1, bn, tr, name="conv0_1")(jnp.concatenate([out1, up0], -1))
 
-        mask = nn.Conv(
+        head = nn.Conv(
             self.out_channels,
             (3, 3),
             padding=((1, 1), (1, 1)),
             kernel_init=_kaiming,
             name="pred_mask0",
-        )(c0)
-        # NOTE (measured): the 9-channel softmax runs at 9/128 lane utilization
-        # (~6 ms/fwd at batch 16 on v5e per the trace), but computing it in a
-        # transposed (N, H, 9, W) layout measured *slower* end-to-end
-        # (329.2 vs 331.2 img/s at batch 32) — the sandwich transposes cost
-        # more than the lane waste. Keep the straightforward form.
-        return nn.softmax(mask, axis=-1)
+        )
+        # The 9-lane head resists every alternative tried (all A/B- or
+        # microbench-measured on v5e): transposed-layout softmax 329.2 vs
+        # 331.2 img/s; space-to-depth segnet 302 vs 362 (spixelnet_s2d.py);
+        # fused Pallas conv+softmax 12,346 vs 961 us at batch 32
+        # (ops/pallas_affinity.py post-mortem). XLA's head is the measured
+        # winner and the default; DISCO_SEG_HEAD=pallas force-enables the
+        # retired kernel (interpret mode off-TPU, for tests).
+        if self.out_channels == 9 and os.environ.get("DISCO_SEG_HEAD") == "pallas":
+            _ = head(jnp.zeros((1, 4, 4, c0.shape[-1]), c0.dtype))  # params only
+            from ..ops import pallas_affinity
+
+            return pallas_affinity.affinity_head(
+                c0, head.variables["params"]["kernel"], head.variables["params"]["bias"]
+            )
+        return nn.softmax(head(c0), axis=-1)
 
 
 class SpixelSeg(nn.Module):

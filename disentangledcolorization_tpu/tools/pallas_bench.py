@@ -105,11 +105,28 @@ def bench_encode(shape):
     return us_xla, us_pal
 
 
+def bench_affinity_head(n=32, h=256, w=256, c=16):
+    from ..ops import pallas_affinity as pa
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(n, h, w, c))).astype(jnp.bfloat16)
+    kernel = jnp.asarray(rng.normal(size=(3, 3, c, 9)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.normal(size=(9,)).astype(np.float32) * 0.1)
+    # the scan harness promotes its perturbed input to f32; cast back so both
+    # legs see the production dtype (bf16 c0 activations)
+    us_xla = _per_call_us(lambda v: pa._xla_affinity_head(v.astype(jnp.bfloat16), kernel, bias), x)
+    us_pal = _per_call_us(lambda v: pa.fused_affinity_head(v.astype(jnp.bfloat16), kernel, bias), x)
+    print(f"affinity head ({n},{h},{w},{c}) bf16:  XLA {us_xla:8.1f} us   Pallas {us_pal:8.1f} us   "
+          f"winner: {'Pallas' if us_pal < us_xla else 'XLA'} ({max(us_xla, us_pal) / min(us_xla, us_pal):.2f}x)")
+    return us_xla, us_pal
+
+
 def main():
     print(f"backend: {jax.default_backend()}, device: {jax.devices()[0]}")
     bench_attention()
     bench_encode((16, 16, 16, 2))
     bench_encode((4, 256, 256, 2))
+    bench_affinity_head()
 
 
 if __name__ == "__main__":

@@ -62,6 +62,85 @@ def test_pallas_encode_matches_jnp():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_pallas_affinity_head_matches_xla():
+    from disentangledcolorization_tpu.ops import pallas_affinity as pa
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 16, 24, 16)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 16, 9)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.normal(size=(9,)).astype(np.float32) * 0.1)
+    ref = pa._xla_affinity_head(x, kernel, bias)
+    out = pa.fused_affinity_head(x, kernel, bias)
+    assert out.dtype == ref.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # rows sum to one (it is a softmax)
+    np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_pallas_affinity_head_bf16_promotes_like_flax():
+    from disentangledcolorization_tpu.ops import pallas_affinity as pa
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 16))).astype(jnp.bfloat16)
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 16, 9)).astype(np.float32) * 0.2)
+    bias = jnp.zeros((9,), jnp.float32)
+    ref = pa._xla_affinity_head(x, kernel, bias)
+    out = pa.fused_affinity_head(x, kernel, bias)
+    assert out.dtype == ref.dtype == jnp.float32  # f32 params win the promotion
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_pallas_affinity_head_grad_routes_through_xla():
+    from disentangledcolorization_tpu.ops import pallas_affinity as pa
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 4, 9)).astype(np.float32) * 0.3)
+    bias = jnp.asarray(rng.normal(size=(9,)).astype(np.float32) * 0.1)
+
+    def loss_fused(x, k, b):
+        return (pa.affinity_head(x, k, b) ** 2).sum()
+
+    def loss_xla(x, k, b):
+        return (pa._xla_affinity_head(x, k, b) ** 2).sum()
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, kernel, bias)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(x, kernel, bias)
+    for a, b_ in zip(g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_spixelnet_fused_head_matches_xla_head(monkeypatch):
+    from disentangledcolorization_tpu.models.spixelnet import SpixelSeg
+
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 1)).astype(np.float32))
+    m = SpixelSeg()
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+
+    monkeypatch.setenv("DISCO_SEG_HEAD", "xla")
+    ref = m.apply(params, x)
+    monkeypatch.setenv("DISCO_SEG_HEAD", "pallas")
+    out = m.apply(params, x)
+    assert out.shape == ref.shape and out.dtype == ref.dtype
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_affinity_dispatch_guards(monkeypatch):
+    from disentangledcolorization_tpu.ops import pallas_affinity as pa
+
+    monkeypatch.setenv("DISCO_SEG_HEAD", "pallas")
+    ok = jnp.zeros((1, 16, 16, 16))
+    assert pa._fused_ok(ok)
+    assert not pa._fused_ok(jnp.zeros((1, 18, 16, 16)))  # H % 8 != 0
+    assert not pa._fused_ok(jnp.zeros((1, 2048, 2048, 16)))  # VMEM budget
+    monkeypatch.setenv("DISCO_SEG_HEAD", "xla")
+    assert not pa._fused_ok(ok)
+    # retired kernel: default (unset) stays on the XLA head
+    monkeypatch.delenv("DISCO_SEG_HEAD", raising=False)
+    assert not pa._fused_ok(ok)
+
+
 def test_pallas_attention_matches_softmax():
     from disentangledcolorization_tpu.ops import pallas_attention as pattn
 
