@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from flax import linen as nn
 
-from .layers import BatchNorm, Conv, SNConv, upsample_nearest_2x
+from .layers import BatchNorm, Conv, SNConv, upsample_conv
 
 
 class _SNStage(nn.Module):
@@ -54,19 +54,21 @@ class ColorProbNet(nn.Module):
         f6 = _SNStage(512, 3, 1, tr, fold, name="conv6_3")(f5)
         f7 = _SNStage(512, 3, 1, tr, fold, name="conv7_3")(f6)
 
-        # conv8: upsample + conv, plus the conv3 shortcut (network.py:188-193,228)
-        u8 = Conv(256, name="conv8up")(upsample_nearest_2x(f7))
+        # conv8: upsample + conv, plus the conv3 shortcut (network.py:188-193,228).
+        # upsample_conv dispatches the naive broadcast+conv by default; the
+        # fused phase-conv alternative measured slower (layers.upsample_conv)
+        u8 = upsample_conv(Conv(256, name="conv8up"), f7)
         s8 = Conv(256, name="conv3short8")(f3)
         x8 = nn.relu(u8 + s8)
         x8 = nn.relu(Conv(256, name="conv8_1")(x8))
         x8 = nn.relu(Conv(256, name="conv8_2")(x8))
         x8 = BatchNorm(use_running_average=not tr, name="norm8")(x8)
 
-        u9 = Conv(128, name="conv9up")(upsample_nearest_2x(x8))
+        u9 = upsample_conv(Conv(128, name="conv9up"), x8)
         x9 = nn.relu(Conv(128, name="conv9_1")(u9))
         x9 = BatchNorm(use_running_average=not tr, name="norm9")(x9)
 
-        u10 = Conv(64, name="conv10up")(upsample_nearest_2x(x9))
+        u10 = upsample_conv(Conv(64, name="conv10up"), x9)
         x10 = nn.relu(u10)
         x10 = nn.relu(Conv(self.out_channels, name="conv10_1")(x10))
         return x10

@@ -11,7 +11,16 @@ from __future__ import annotations
 
 from flax import linen as nn
 
-from .layers import Conv, ConvBlock, DownsampleBlock, ResidualBlock, UpsampleBlock
+from .layers import (
+    Conv,
+    ConvBlock,
+    DownsampleBlock,
+    ResidualBlock,
+    UpsampleBlock,
+    conv_module_params,
+    conv_rewrites_enabled,
+    padded_out_conv,
+)
 
 
 class HourGlass2(nn.Module):
@@ -33,4 +42,10 @@ class HourGlass2(nn.Module):
             r = ResidualBlock(256, use_norm=False, train=tr, sn_folded=self.sn_folded, name=f"residual{i}")(r)
         u2 = UpsampleBlock(128, conv_num=3, use_norm=self.use_norm, train=tr, name="up2")(r, f2)
         u1 = UpsampleBlock(64, conv_num=3, use_norm=self.use_norm, train=tr, name="up1")(u2, f1)
-        return Conv(self.out_channels, name="out_conv")(u1)
+        out = Conv(self.out_channels, name="out_conv")
+        if conv_rewrites_enabled("out") and self.out_channels < 16:
+            # zero-pad the 2-lane-output conv to 64 MXU filters — measured
+            # neutral end-to-end, off by default (see layers.padded_out_conv)
+            kernel, bias = conv_module_params(out, u1.shape[-1], u1.dtype)
+            return padded_out_conv(u1, kernel, bias)
+        return out(u1)

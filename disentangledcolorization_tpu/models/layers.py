@@ -20,6 +20,7 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -27,6 +28,26 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+
+def conv_rewrites_enabled(which: str = "") -> bool:
+    """Trace-time gate for the weight-exact conv rewrites.
+
+    DISCO_CONV_REWRITES: "1" = all, "0"/unset = none, or a comma list of
+    rewrite names ("up" = fused_upsample_conv, "out" = padded_out_conv) to
+    enable selectively (per-rewrite A/B).
+
+    Default OFF — both rewrites were refuted by end-to-end A/B on v5e
+    (bench.py, batch 32): baseline 361.8 img/s, "up" alone 356.1 (the phase
+    interleave relayout costs more than the materialized broadcast XLA
+    already all but fuses away), "out" alone 362.8 (noise), both 356.7.
+    """
+    v = os.environ.get("DISCO_CONV_REWRITES", "0")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return which in {t.strip() for t in v.split(",")}
 
 
 def _pair(v):
@@ -176,6 +197,122 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
 
+def _phase_embedded_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,I,O) kernel -> (3,3,I,4O) whose 2p+q output block computes the
+    (p, q) output phase of (nearest-2x upsample -> 3x3 pad-1 conv).
+
+    Derivation: output row 2i+p of the upsampled conv taps upsampled rows
+    2i+p-1..2i+p+1, i.e. source rows (i-1, i, i) for p=0 and (i, i, i+1) for
+    p=1 — so at source resolution phase p=0 sees (W0, W1+W2, 0) on kernel
+    rows (i-1, i, i+1) and p=1 sees (0, W0+W1, W2); columns analogously.
+    """
+    k, z = kernel, jnp.zeros_like(kernel[0])
+    rows = (
+        jnp.stack([k[0], k[1] + k[2], z]),  # p = 0
+        jnp.stack([z, k[0] + k[1], k[2]]),  # p = 1
+    )
+    blocks = []
+    for p in (0, 1):
+        r, zc = rows[p], jnp.zeros_like(rows[p][:, 0])
+        blocks.append(jnp.stack([r[:, 0], r[:, 1] + r[:, 2], zc], axis=1))  # q = 0
+        blocks.append(jnp.stack([zc, r[:, 0] + r[:, 1], r[:, 2]], axis=1))  # q = 1
+    return jnp.concatenate(blocks, axis=-1)
+
+
+def fused_upsample_conv(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    dtype: Dtype | None = None,
+) -> jnp.ndarray:
+    """``Conv3x3(upsample_nearest_2x(x))`` in one half-resolution conv.
+
+    Weight-exact rewrite, REFUTED end-to-end on v5e (see
+    conv_rewrites_enabled): 356.1 vs 361.8 img/s at batch 32. The trace had
+    attributed 4.5 ms to conv10up (2.6 ms broadcast_in_dim), but those
+    self-times included neighbor work XLA fuses with the conv — the phase
+    interleave relayout here costs more than it saves. Kept as a documented,
+    tested alternative (DISCO_CONV_REWRITES=up).
+
+    Design: the four 2x2 phase kernels are embedded in a single (3,3,I,4O)
+    conv evaluated at source resolution (reads x once, MXU-friendly 4O
+    output lanes), then the phases are interleaved with a reshape/transpose.
+    f32-exact vs the reference formulation up to FMA reassociation (W taps
+    on duplicated rows are pre-summed); asserted in tests/test_models.py.
+    """
+    n, h, w, _ = x.shape
+    o = kernel.shape[3]
+    dt = dtype or x.dtype
+    zk = _phase_embedded_kernel(kernel)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt),
+        zk.astype(dt),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + jnp.tile(bias, 4).astype(dt)
+    y = y.reshape(n, h, w, 2, 2, o).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, 2 * h, 2 * w, o)
+
+
+def padded_out_conv(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    dtype: Dtype | None = None,
+    pad_to: int = 64,
+) -> jnp.ndarray:
+    """3x3 pad-1 conv with the output channels zero-padded to ``pad_to`` lanes.
+
+    Weight-exact rewrite for tiny-Cout heads; end-to-end NEUTRAL on v5e
+    (362.8 vs 361.8 img/s at batch 32 — within noise; see
+    conv_rewrites_enabled). The trace's 4.79 ms for the 64->2 out_conv was
+    misattributed fused-neighbor time. Exact: the extra filters are zero.
+    Kept as a tested alternative (DISCO_CONV_REWRITES=out).
+    """
+    o = kernel.shape[3]
+    dt = dtype or x.dtype
+    if o < pad_to:
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, pad_to - o)))
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt),
+        kernel.astype(dt),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y[..., :o]
+    if bias is not None:
+        y = y + bias.astype(dt)
+    return y
+
+
+def conv_module_params(conv: Conv, in_ch: int, dtype) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+    """Materialize a ``Conv`` wrapper's params without running it at full size.
+
+    Calls the module on a tiny dummy (param shapes depend only on channel
+    count) so flax registers ``conv/kernel`` and ``conv/bias`` under the
+    wrapper's name, keeping the param tree — and therefore the torch-weight
+    converter mapping — identical to the plain-call formulation.
+    """
+    _ = conv(jnp.zeros((1, 4, 4, in_ch), dtype))
+    p = conv.variables["params"]["conv"]
+    return p["kernel"], p.get("bias")
+
+
+def upsample_conv(conv: Conv, x: jnp.ndarray) -> jnp.ndarray:
+    """``conv(upsample_nearest_2x(x))`` through the measured fused rewrite.
+
+    Falls back to the naive formulation when DISCO_CONV_REWRITES=0.
+    """
+    if not conv_rewrites_enabled("up"):
+        return conv(upsample_nearest_2x(x))
+    kernel, bias = conv_module_params(conv, x.shape[-1], x.dtype)
+    return fused_upsample_conv(x, kernel, bias)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm2d with torch defaults (eps=1e-5, momentum 0.1 -> flax 0.9).
 
@@ -298,8 +435,28 @@ class UpsampleBlock(nn.Module):
     @nn.compact
     def __call__(self, x, skip):
         x = Conv(self.features, name="conv1")(x)
-        x = upsample_nearest_2x(x)
-        x = nn.relu(Conv(self.features, name="combine")(jnp.concatenate([x, skip], axis=-1)))
+        combine = Conv(self.features, name="combine")
+        if conv_rewrites_enabled("up"):
+            # combine(concat(up(x), skip)) == fused_upsample_conv(x, W_up)
+            #                                 + conv(skip, W_skip): split the
+            # kernel's input channels instead of materializing the 2x
+            # broadcast + concat (trace-measured rewrite, see
+            # fused_upsample_conv)
+            kernel, bias = conv_module_params(combine, x.shape[-1] + skip.shape[-1], x.dtype)
+            cu = x.shape[-1]
+            dt = x.dtype
+            yu = fused_upsample_conv(x, kernel[:, :, :cu], bias)
+            ys = jax.lax.conv_general_dilated(
+                skip.astype(dt),
+                kernel[:, :, cu:].astype(dt),
+                window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            x = nn.relu(yu + ys)
+        else:
+            x = upsample_nearest_2x(x)
+            x = nn.relu(combine(jnp.concatenate([x, skip], axis=-1)))
         for i in range(self.conv_num - 1):
             x = nn.relu(Conv(self.features, name=f"post_conv{i}")(x))
         if self.use_norm:

@@ -203,3 +203,83 @@ def test_disco_fast_seg_matches_default():
     np.testing.assert_allclose(
         np.asarray(out1["pred_colors"]), np.asarray(out0["pred_colors"]), atol=1e-4
     )
+
+
+def test_fused_upsample_conv_matches_naive():
+    from disentangledcolorization_tpu.models import layers as L
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 16)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 16, 24)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.normal(size=(24,)).astype(np.float32) * 0.1)
+
+    up = L.upsample_nearest_2x(x)
+    ref = jax.lax.conv_general_dilated(
+        up, kernel, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + bias
+    out = L.fused_upsample_conv(x, kernel, bias)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_padded_out_conv_matches_naive():
+    from disentangledcolorization_tpu.models import layers as L
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(2, 10, 10, 32)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 32, 2)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.normal(size=(2,)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + bias
+    out = L.padded_out_conv(x, kernel, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_conv_rewrites_preserve_networks(monkeypatch):
+    """ColorProbNet / HourGlass2 give identical outputs and param trees with the
+    conv rewrites on and off (same variables drive both paths)."""
+    from disentangledcolorization_tpu.models.colorprobnet import ColorProbNet
+    from disentangledcolorization_tpu.models.hourglass import HourGlass2
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 1)).astype(np.float32))
+    enh_in = jnp.asarray(rng.normal(size=(1, 32, 32, 65)).astype(np.float32))
+
+    for make, inp in (
+        (lambda: ColorProbNet(out_channels=64, train=False, sn_folded=True), x),
+        (lambda: HourGlass2(out_channels=2, res_num=1, use_norm=True, train=False), enh_in),
+    ):
+        monkeypatch.setenv("DISCO_CONV_REWRITES", "0")
+        m = make()
+        v = m.init(jax.random.key(0), inp)
+        ref = m.apply(v, inp)
+        monkeypatch.setenv("DISCO_CONV_REWRITES", "1")
+        m2 = make()
+        v2 = m2.init(jax.random.key(0), inp)
+        assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(v)
+        out = m2.apply(v, inp)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_conv_rewrites_gradients_flow(monkeypatch):
+    """The rewritten convs are differentiable and match the naive gradients."""
+    from disentangledcolorization_tpu.models.hourglass import HourGlass2
+
+    rng = np.random.default_rng(14)
+    enh_in = jnp.asarray(rng.normal(size=(1, 16, 16, 65)).astype(np.float32))
+    m = HourGlass2(out_channels=2, res_num=1, use_norm=False, train=True, sn_folded=True)
+    monkeypatch.setenv("DISCO_CONV_REWRITES", "0")
+    v = m.init(jax.random.key(0), enh_in)
+
+    def loss(params):
+        return (m.apply({"params": params}, enh_in) ** 2).sum()
+
+    g_ref = jax.grad(loss)(v["params"])
+    monkeypatch.setenv("DISCO_CONV_REWRITES", "1")
+    g_new = jax.grad(loss)(v["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4),
+        g_new,
+        g_ref,
+    )
