@@ -36,8 +36,10 @@ import numpy as np
 TORCH_CPU_BASELINE_IMG_PER_S = 0.32
 V5E_BF16_PEAK_TFLOPS = 197.0
 
-BATCH = 32  # sweet spot on v5e (round-2 sweep: b8 295, b16 299, b32 331 img/s;
-# the round-1 "batch-24/32 cliff" did not reproduce after the f32-affinity fix)
+BATCH = 56  # sweet spot on v5e. Round-2 sweeps (img/s): b8 295, b16 299,
+# b32 331->364 (after bf16-operand pooling), then b48 379.0, b56 381.8,
+# b64 371.7 (2026-08-17). The round-1 "batch-24/32 cliff" did not reproduce
+# after the f32-affinity fix.
 H = W = 256
 ITERS = 12
 

@@ -123,6 +123,12 @@ class AnchorColorProb(nn.Module):
         # hintpath), so the bf16 path pools with bf16 operands + f32
         # accumulation, halving the 6-D blocked-relayout traffic (the dominant
         # pool cost, see ops/superpixel.py).
+        # [A/B 2026-08-17, v5e, batch-32 bf16 train step] splitting the
+        # training pool (bf16 64-ch feature pool + separate exact f32 color
+        # pool for the GT labels) was REFUTED: 293.9 ms/step vs 286.4 joint-f32
+        # — the f32 blocking of the full-res 9-ch affinity is the dominant
+        # pool cost and the split duplicates it (bf16 copy for feats + f32
+        # copy for colors), losing more than the 64-ch bf16 feat pool saves.
         precise = jnp.dtype(cdt) == jnp.dtype(jnp.float32) or not test_mode
         pred_feats = ColorProbNet(
             out_channels=d, train=train, sn_folded=self.sn_folded, name="repnet"
@@ -261,7 +267,9 @@ class AnchorColorProb(nn.Module):
         pred_colors = None
         if self.enhanced:
             proc_feats = dec_out.reshape(n, hc, wc, d).astype(cdt)
-            full_feats = sp.upfeat_auto(proc_feats, affinity_map, spn, spn, precise=precise)
+            full_feats = sp.upfeat_auto(
+                proc_feats, affinity_map, spn, spn, precise=precise
+            )
             enh_in = jnp.concatenate([input_grays.astype(cdt), full_feats], axis=-1)
             pred_colors = HourGlass2(
                 out_channels=2,

@@ -3,10 +3,18 @@
 Times the full jitted stage-2 train step (forward + backward + adam update +
 BN/spectral mutation) with the same chained-scan methodology as bench.py:
 iteration-dependent inputs, completion forced by a scalar fetch, 1-iteration
-overhead subtracted. Optionally captures a profiler trace.
+overhead subtracted. Reports achieved TFLOP/s and MFU from XLA cost analysis.
+Optionally captures a profiler trace.
 
-Run: python tools/bench_train.py [--batch 16] [--dtype bfloat16] [--remat]
-                                 [--trace /tmp/train_trace]
+The loss bundle is built with enhanced=True to match the model: with the
+default (enhanced=False) bundle the hourglass decoder gets no gradient and XLA
+dead-codes its entire backward — an earlier version of this tool measured that
+truncated step (198 img/s at batch 32) and overstated training throughput.
+Pass --vgg_npz to time the true VGG19 perceptual objective instead of the
+L1 fallback.
+
+Run: python tools/bench_train.py [--batch 32] [--dtype bfloat16] [--remat]
+                                 [--vgg_npz w.npz] [--trace /tmp/train_trace]
 """
 
 from __future__ import annotations
@@ -27,10 +35,11 @@ H = W = 256
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--vgg_npz", type=str, default="")
     ap.add_argument("--trace", type=str, default="")
     args = ap.parse_args()
 
@@ -58,7 +67,10 @@ def main():
     jax.block_until_ready(variables)
     tx = optim.build_optimizer("adam", 2e-4)
     state = TrainState.create(variables, tx)
-    loss_bundle = L.AnchorColorProbLoss()
+    from disentangledcolorization_tpu.models.vgg import load_vgg19_params
+
+    vgg_vars = load_vgg19_params(args.vgg_npz or None)
+    loss_bundle = L.AnchorColorProbLoss(enhanced=True, vgg_variables=vgg_vars)
     step = steps.make_colorizer_train_step(model, loss_bundle, remat=args.remat)
     step_fn = step.__wrapped__  # un-jitted body for in-graph chaining
 
@@ -92,11 +104,34 @@ def main():
     float(f1(state))
     float(fN(state))  # compile both
     per_step = (timed(fN) - timed(f1)) / args.iters
-    print(
-        f"train step batch {args.batch} {args.dtype} remat={args.remat}: "
-        f"{per_step*1e3:.1f} ms/step = {args.batch/per_step:.1f} img/s",
-        flush=True,
+    line = (
+        f"train step batch {args.batch} {args.dtype} remat={args.remat} "
+        f"vgg={bool(vgg_vars)}: "
+        f"{per_step*1e3:.1f} ms/step = {args.batch/per_step:.1f} img/s"
     )
+    try:
+        # cost-analyze a standalone step with the FULL new state as a live
+        # output: in the chained(1) graph the final state is unused, so XLA
+        # dead-codes the whole backward and the count would be forward-only
+        # (verified: scan bodies are also counted once regardless of trip
+        # count, so the chain is unusable for FLOPs either way)
+        cost = (
+            jax.jit(step_fn)
+            .lower(state, {"gray": gray, "color": color}, jax.random.key(3))
+            .compile()
+            .cost_analysis()
+        )
+        flops_per_step = float(cost.get("flops", 0.0))
+    except Exception as e:  # noqa: BLE001
+        print(f"# cost analysis unavailable ({type(e).__name__})", file=sys.stderr)
+        flops_per_step = 0.0
+    if flops_per_step > 0:
+        achieved = flops_per_step / per_step / 1e12
+        line += (
+            f" | {flops_per_step/args.batch/1e9:.0f} GFLOPs/img, "
+            f"{achieved:.1f} TFLOP/s = {achieved/197.0:.1%} MFU (v5e bf16 peak)"
+        )
+    print(line, flush=True)
     if args.trace:
         # compile the standalone step OUTSIDE the trace (a compile inside the
         # session floods the event buffer and drops the device op events)
