@@ -15,7 +15,7 @@ same resolution run at full device speed.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Sequence
 
 import cv2
 import jax
@@ -36,8 +36,20 @@ class Colorizer:
         compute_dtype: str = "bfloat16",
         seed: int = 130,
         bucket: int = 16,
+        data_parallel: bool = False,
     ):
         from .cli.infer import load_variables
+
+        # multi-chip serving: shard the request batch over all local devices
+        # (DP — each image independent, like cli/infer.py); batch buckets are
+        # rounded up to a multiple of the device count
+        self._data_sharding = None
+        self._n_dev = 1
+        if data_parallel and len(jax.devices()) > 1:
+            from .parallel import batch_sharding, make_mesh
+
+            self._n_dev = len(jax.devices())
+            self._data_sharding = batch_sharding(make_mesh())
 
         self.sp_size = sp_size
         self.bucket = max(bucket, sp_size)
@@ -129,3 +141,59 @@ class Colorizer:
         if diverse:
             return [to_rgb(pred[i]) for i in range(3)]
         return to_rgb(pred[0])
+
+    # batch-size buckets for serving: XLA compiles one graph per input shape,
+    # so an unconstrained dynamic batcher would trigger a fresh multi-second
+    # compile for every new request count. Batches are padded up to the next
+    # bucket (repeating the last image) and the padding outputs dropped.
+    BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 56)
+
+    def _batch_bucket(self, n: int) -> int:
+        b = next((b for b in self.BATCH_BUCKETS if n <= b), n)
+        return -(-b // self._n_dev) * self._n_dev  # shardable over the mesh
+
+    def colorize_batch(self, images: list, key: Optional[jax.Array] = None) -> list:
+        """Colorize several images in ONE device dispatch (serving hot path).
+
+        All images must share the same bucket-padded resolution (the dynamic
+        batcher in serve.py groups requests by shape before calling this).
+        Returns a list of (H, W, 3) uint8 RGB arrays, order-preserving.
+        """
+        if not images:
+            return []
+        preps = [self._prep(img) for img in images]
+        shapes = {g.shape for g, _ in preps}
+        if len(shapes) > 1:
+            raise ValueError(f"colorize_batch needs one padded shape, got {sorted(shapes)}")
+        grays = np.concatenate([g for g, _ in preps], axis=0)
+        nb = self._batch_bucket(len(preps))
+        if nb > len(preps):
+            pad = np.broadcast_to(grays[-1:], (nb - len(preps),) + grays.shape[1:])
+            grays = np.concatenate([grays, pad], axis=0)
+        colors = np.zeros(grays.shape[:3] + (2,), np.float32)
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        fwd = self._forward(0, False)
+        grays_d, colors_d = jnp.asarray(grays), jnp.asarray(colors)
+        if self._data_sharding is not None:
+            grays_d = jax.device_put(grays_d, self._data_sharding)
+            colors_d = jax.device_put(colors_d, self._data_sharding)
+        pred = np.asarray(
+            fwd(self.variables, grays_d, colors_d, key, None, None),
+            np.float32,
+        )
+        out = []  # padding entries (i >= len(preps)) are dropped here
+        for i, (_, (h, w)) in enumerate(preps):
+            lab = np.concatenate([grays[i], pred[i]], axis=-1)
+            lab[..., 0] = lab[..., 0] * 50.0 + 50.0
+            lab[..., 1:] = lab[..., 1:] * 110.0
+            rgb = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+            out.append((np.clip(rgb[:h, :w], 0, 1) * 255).astype(np.uint8))
+        return out
+
+    def warmup(self, size: int = 256, buckets: Sequence[int] = (1, 8, 56)) -> None:
+        """Pre-compile the serving graphs for the given batch buckets so the
+        first real requests don't pay XLA compile latency."""
+        dummy = np.zeros((size, size), np.uint8)
+        for b in buckets:
+            self.colorize_batch([dummy] * b, key=jax.random.key(0))

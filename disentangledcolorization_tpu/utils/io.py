@@ -59,7 +59,9 @@ def load_image_lab_resized(img_path: str, resize: int | None = None):
         raise FileNotFoundError(img_path)
     if resize:
         bgr = cv2.resize(bgr, (resize, resize), interpolation=cv2.INTER_CUBIC)
-    bgr = np.asarray(bgr / 255.0, np.float32)
+    # float32 divide directly (differs from the reference's float64-then-cast
+    # by <=0.5 ulp; avoids a full-size float64 temporary on the hot loader path)
+    bgr = bgr.astype(np.float32) / np.float32(255.0)
     lab = cv2.cvtColor(bgr, cv2.COLOR_BGR2LAB)
     return {
         "gray": (lab[..., :1] - 50.0) / 50.0,

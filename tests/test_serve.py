@@ -1,0 +1,165 @@
+"""Serving layer: dynamic batcher semantics + HTTP round-trip + real-model batch API."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+class FakeColorizer:
+    """Duck-typed stand-in: records batch sizes, paints each image's mean."""
+
+    def __init__(self, bucket=16, fail_on=None):
+        self.bucket = bucket
+        self.batches = []
+        self.fail_on = fail_on
+
+    def colorize_batch(self, images, key=None):
+        self.batches.append(len(images))
+        if self.fail_on is not None and any(
+            img.shape[0] == self.fail_on for img in images
+        ):
+            raise RuntimeError("boom")
+        return [
+            np.full(img.shape[:2] + (3,), int(np.mean(img)) % 256, np.uint8)
+            for img in images
+        ]
+
+
+def make_img(h, w, val):
+    return np.full((h, w, 3), val, np.uint8)
+
+
+def test_batcher_coalesces_and_preserves_order():
+    from disentangledcolorization_tpu.serve import DynamicBatcher
+
+    fake = FakeColorizer()
+    b = DynamicBatcher(fake, max_batch=8, max_wait_ms=150.0)
+    try:
+        futs = [b.submit(make_img(32, 32, v)) for v in (3, 7, 11, 19)]
+        outs = [f.result(timeout=10) for f in futs]
+        for v, out in zip((3, 7, 11, 19), outs):
+            assert out.shape == (32, 32, 3)
+            assert int(out[0, 0, 0]) == v
+        st = b.stats()
+        assert st["requests"] == 4
+        # the 150 ms grace window must have coalesced the burst
+        assert st["batches"] < 4
+        assert st["max_batch_seen"] >= 2
+    finally:
+        b.close()
+
+
+def test_batcher_groups_by_padded_shape():
+    from disentangledcolorization_tpu.serve import DynamicBatcher
+
+    fake = FakeColorizer(bucket=16)
+    b = DynamicBatcher(fake, max_batch=8, max_wait_ms=150.0)
+    try:
+        f1 = b.submit(make_img(32, 32, 5))
+        f2 = b.submit(make_img(48, 32, 9))  # different padded shape
+        f3 = b.submit(make_img(30, 30, 7))  # pads to 32x32 -> groups with f1
+        assert int(f1.result(10)[0, 0, 0]) == 5
+        assert int(f2.result(10)[0, 0, 0]) == 9
+        assert int(f3.result(10)[0, 0, 0]) == 7
+        assert all(n <= 2 for n in fake.batches)  # shapes never mixed
+    finally:
+        b.close()
+
+
+def test_batcher_delivers_errors_and_survives():
+    from disentangledcolorization_tpu.serve import DynamicBatcher
+
+    fake = FakeColorizer(fail_on=64)
+    b = DynamicBatcher(fake, max_batch=4, max_wait_ms=20.0)
+    try:
+        bad = b.submit(make_img(64, 64, 1))
+        with pytest.raises(RuntimeError, match="boom"):
+            bad.result(timeout=10)
+        ok = b.submit(make_img(32, 32, 4))
+        assert int(ok.result(timeout=10)[0, 0, 0]) == 4  # loop still alive
+    finally:
+        b.close()
+
+
+def test_http_roundtrip():
+    import cv2
+
+    from disentangledcolorization_tpu.serve import DynamicBatcher, build_server
+
+    fake = FakeColorizer()
+    b = DynamicBatcher(fake, max_batch=4, max_wait_ms=5.0)
+    srv = build_server("127.0.0.1", 0, b)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        ok, jpg = cv2.imencode(".jpg", make_img(40, 48, 128))
+        assert ok
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/colorize", data=jpg.tobytes(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"] == "image/png"
+            png = resp.read()
+        out = cv2.imdecode(np.frombuffer(png, np.uint8), cv2.IMREAD_COLOR)
+        assert out.shape == (40, 48, 3)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok" and health["requests"] >= 1
+        # bad payload -> 400, not a crash
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/colorize", data=b"not an image", method="POST"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 400
+        assert raised
+    finally:
+        srv.shutdown()
+        b.close()
+
+
+def test_colorize_batch_real_model():
+    import cv2
+
+    from disentangledcolorization_tpu.api import Colorizer
+
+    rng = np.random.default_rng(0)
+    imgs = [
+        cv2.cvtColor(rng.uniform(0, 255, (48, 40, 3)).astype(np.uint8), cv2.COLOR_BGR2RGB)
+        for _ in range(3)
+    ]
+    c = Colorizer(n_clusters=2, bucket=16)
+    import jax
+
+    key = jax.random.key(3)
+    # 3 images pad up to the batch-4 bucket; padding outputs must be dropped
+    outs = c.colorize_batch(imgs, key=key)
+    assert len(outs) == 3
+    for img, out in zip(imgs, outs):
+        assert out.shape == img.shape and out.dtype == np.uint8
+    # deterministic under a fixed key
+    outs2 = c.colorize_batch(imgs, key=key)
+    assert all(np.array_equal(a, b) for a, b in zip(outs, outs2))
+    # mixed resolutions are rejected (the batcher's contract)
+    with pytest.raises(ValueError):
+        c.colorize_batch([imgs[0], imgs[0][:32]])
+
+    # multi-chip DP serving: batch sharded over the 8 virtual devices must
+    # reproduce the single-device results (same seed -> same random weights)
+    cdp = Colorizer(n_clusters=2, bucket=16, data_parallel=True)
+    assert cdp._data_sharding is not None and cdp._n_dev == 8
+    assert cdp._batch_bucket(3) == 8  # rounded up to a shardable bucket
+    outs_dp = cdp.colorize_batch(imgs, key=key)
+    assert len(outs_dp) == 3
+    for a, b in zip(outs, outs_dp):
+        assert np.mean(np.abs(a.astype(int) - b.astype(int))) < 1.0

@@ -13,7 +13,11 @@ truncated step (198 img/s at batch 32) and overstated training throughput.
 Pass --vgg_npz to time the true VGG19 perceptual objective instead of the
 L1 fallback.
 
-Run: python tools/bench_train.py [--batch 32] [--dtype bfloat16] [--remat]
+``--stage spixel`` times the stage-1 SpixelNet pretraining step instead
+(reference recipe: batch 128/GPU, scripts/spixelseg_ab16-imagenet.sh).
+
+Run: python tools/bench_train.py [--stage colorizer|spixel] [--batch 32]
+                                 [--dtype bfloat16] [--remat]
                                  [--vgg_npz w.npz] [--trace /tmp/train_trace]
 """
 
@@ -35,6 +39,7 @@ H = W = 256
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="colorizer", choices=["colorizer", "spixel"])
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--remat", action="store_true")
@@ -43,35 +48,56 @@ def main():
     ap.add_argument("--trace", type=str, default="")
     args = ap.parse_args()
 
-    from disentangledcolorization_tpu.models import AnchorColorProb
+    from disentangledcolorization_tpu.models import AnchorColorProb, SpixelSeg
+    from disentangledcolorization_tpu.ops import superpixel as sp
     from disentangledcolorization_tpu.train import losses as L
     from disentangledcolorization_tpu.train import optim, steps
     from disentangledcolorization_tpu.train.state import TrainState
 
     cdt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = AnchorColorProb(
-        sp_size=16, n_clusters=8, enhanced=True, compute_dtype=cdt
-    )
     rng = np.random.default_rng(0)
     gray = jnp.asarray(rng.uniform(-1, 1, (args.batch, H, W, 1)).astype(np.float32))
     color = jnp.asarray(rng.uniform(-1, 1, (args.batch, H, W, 2)).astype(np.float32))
+    vgg_vars = None
 
-    variables = jax.jit(model.init, static_argnums=(3, 4, 5))(
-        {"params": jax.random.key(0), "anchor": jax.random.key(1), "dropout": jax.random.key(2)},
-        gray[:1],
-        color[:1],
-        False,
-        0,
-        True,
-    )
-    jax.block_until_ready(variables)
-    tx = optim.build_optimizer("adam", 2e-4)
-    state = TrainState.create(variables, tx)
-    from disentangledcolorization_tpu.models.vgg import load_vgg19_params
+    if args.stage == "colorizer":
+        model = AnchorColorProb(
+            sp_size=16, n_clusters=8, enhanced=True, compute_dtype=cdt
+        )
+        variables = jax.jit(model.init, static_argnums=(3, 4, 5))(
+            {"params": jax.random.key(0), "anchor": jax.random.key(1), "dropout": jax.random.key(2)},
+            gray[:1],
+            color[:1],
+            False,
+            0,
+            True,
+        )
+        jax.block_until_ready(variables)
+        tx = optim.build_optimizer("adam", 2e-4)
+        state = TrainState.create(variables, tx)
+        from disentangledcolorization_tpu.models.vgg import load_vgg19_params
 
-    vgg_vars = load_vgg19_params(args.vgg_npz or None)
-    loss_bundle = L.AnchorColorProbLoss(enhanced=True, vgg_variables=vgg_vars)
-    step = steps.make_colorizer_train_step(model, loss_bundle, remat=args.remat)
+        vgg_vars = load_vgg19_params(args.vgg_npz or None)
+        loss_bundle = L.AnchorColorProbLoss(enhanced=True, vgg_variables=vgg_vars)
+        step = steps.make_colorizer_train_step(model, loss_bundle, remat=args.remat)
+
+        def make_batch(i):
+            return {"gray": gray + 0.001 * i, "color": color}
+
+    else:  # stage-1 SpixelNet pretraining (train_spixel.py recipe, --feat ab)
+        args.dtype = "float32"  # SpixelSeg trains f32 like the reference; no bf16 knob
+        model = SpixelSeg(train=True)
+        variables = jax.jit(model.init)(jax.random.key(0), gray[:1])
+        jax.block_until_ready(variables)
+        tx = optim.build_optimizer("adam", 5e-5)
+        state = TrainState.create(variables, tx)
+        _, coord = sp.init_spixel_grid(H, W, 16)
+        coord_b = jnp.broadcast_to(jnp.asarray(coord)[None], (args.batch,) + coord.shape)
+        step = steps.make_spixel_train_step(model, kernel_size=16)
+
+        def make_batch(i):
+            return {"gray": gray + 0.001 * i, "feat": color, "coord": coord_b}
+
     step_fn = step.__wrapped__  # un-jitted body for in-graph chaining
 
     # chain k steps inside one jitted scan (bench.py methodology): the state
@@ -82,7 +108,7 @@ def main():
         @jax.jit
         def f(state0):
             def body(st, i):
-                batch = {"gray": gray + 0.001 * i.astype(jnp.float32), "color": color}
+                batch = make_batch(i.astype(jnp.float32))
                 st, metrics = step_fn(st, batch, jax.random.key(3))
                 return st, metrics["totalLoss"]
 
@@ -105,7 +131,7 @@ def main():
     float(fN(state))  # compile both
     per_step = (timed(fN) - timed(f1)) / args.iters
     line = (
-        f"train step batch {args.batch} {args.dtype} remat={args.remat} "
+        f"{args.stage} train step batch {args.batch} {args.dtype} remat={args.remat} "
         f"vgg={bool(vgg_vars)}: "
         f"{per_step*1e3:.1f} ms/step = {args.batch/per_step:.1f} img/s"
     )
@@ -117,7 +143,7 @@ def main():
         # count, so the chain is unusable for FLOPs either way)
         cost = (
             jax.jit(step_fn)
-            .lower(state, {"gray": gray, "color": color}, jax.random.key(3))
+            .lower(state, make_batch(0.0), jax.random.key(3))
             .compile()
             .cost_analysis()
         )
@@ -135,12 +161,11 @@ def main():
     if args.trace:
         # compile the standalone step OUTSIDE the trace (a compile inside the
         # session floods the event buffer and drops the device op events)
-        state, metrics = step(state, {"gray": gray, "color": color}, jax.random.key(4))
+        state, metrics = step(state, make_batch(0.0), jax.random.key(4))
         float(metrics["totalLoss"])
         with jax.profiler.trace(args.trace):
             for i in range(3):
-                batch = {"gray": gray + 0.01 * i, "color": color}
-                state, metrics = step(state, batch, jax.random.key(4))
+                state, metrics = step(state, make_batch(float(i)), jax.random.key(4))
                 float(metrics["totalLoss"])
         print(f"trace written to {args.trace} (parse with tools/trace_forward.py --summarize_only)")
 
