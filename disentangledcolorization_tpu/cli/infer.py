@@ -46,15 +46,9 @@ def load_variables(checkpt: str, model, example_args, seed: int = 0):
             sd = cvt.load_torch_checkpoint(checkpt)
             return cvt.convert_disco_state_dict(sd, sn_folded=True), True
         if os.path.isdir(checkpt):
-            from ..train.checkpoint import CheckpointManager
+            from ..train.checkpoint import load_train_variables
 
-            mgr = CheckpointManager(os.path.dirname(checkpt))
-            tag = os.path.basename(checkpt).replace("model_", "")
-            variables = model.init(
-                {"params": jax.random.key(seed), "anchor": jax.random.key(seed + 1)}, *example_args
-            )
-            state, _, _ = mgr.restore(tag, variables)
-            return state, True
+            return load_train_variables(checkpt), True
     print("@Warning: no checkpoint loaded — random weights (smoke-test mode)")
     variables = model.init(
         {"params": jax.random.key(seed), "anchor": jax.random.key(seed + 1)}, *example_args

@@ -101,6 +101,12 @@ def main(argv=None):
         if args.spixel_ckpt.endswith((".pkl", ".pickle")):
             with open(args.spixel_ckpt, "rb") as f:
                 spixel_vars = pickle.load(f)
+        elif os.path.isdir(args.spixel_ckpt):
+            # stage-1's own Orbax run/snapshot dir (SpixelNet has no SN,
+            # folding is a no-op)
+            from ..train.checkpoint import load_train_variables
+
+            spixel_vars = load_train_variables(args.spixel_ckpt)
         else:
             from ..tools import convert_torch as cvt
 

@@ -55,3 +55,71 @@ class CheckpointManager:
 
     def exists(self, tag: str) -> bool:
         return os.path.exists(self._path(tag))
+
+
+def fold_spectral_variables(variables: dict) -> dict:
+    """Fold spectral-norm sigma into the kernels (inference-ready weights).
+
+    Computes sigma exactly as models/layers.py::SNConv does from the persisted
+    power-iteration vector ``u``, divides each kernel by it, and drops the
+    ``spectral`` collection — the same transform the torch converter applies
+    with sn_folded=True, but applied to this framework's own training
+    checkpoints so they load into the inference model (built with
+    sn_folded=True) without conversion.
+    """
+    spectral = variables.get("spectral")
+    out = {k: v for k, v in variables.items() if k != "spectral"}
+    if not spectral:
+        return out
+    # tree_map rebuilds every container, so in-place edits below are safe
+    params = jax.tree_util.tree_map(lambda x: x, out["params"])
+
+    def fold(p_sub, s_sub):
+        for key, val in s_sub.items():
+            if key == "u":
+                kernel = np.asarray(p_sub["kernel"])
+                w_mat = kernel.reshape(-1, kernel.shape[-1]).T  # (O, HWI)
+                u = np.asarray(val)
+                v = w_mat.T @ u
+                v = v / (np.linalg.norm(v) + 1e-12)
+                u_new = w_mat @ v
+                u_new = u_new / (np.linalg.norm(u_new) + 1e-12)
+                sigma = float(u_new @ (w_mat @ v))
+                p_sub["kernel"] = kernel / sigma
+            else:
+                fold(p_sub[key], val)
+
+    fold(params, spectral)
+    out["params"] = params
+    return out
+
+
+def load_train_variables(path: str, fold_spectral: bool = True) -> dict:
+    """Model variables from an Orbax snapshot written by the trainers.
+
+    Accepts the snapshot directory itself (``.../checkpts/model_last``) or a
+    directory containing ``model_best``/``model_last`` (a run's ``checkpts``
+    dir or the run dir); prefers ``model_best``. The snapshot holds a full
+    TrainState (params + BN stats + spectral vectors + optimizer state); this
+    restores template-free and returns just the inference variables, so the
+    stage-2 trainer can consume stage-1's native checkpoint directly
+    (reference: load_and_froze_weight on its own .pth.tar, model.py:78-87) and
+    the inference CLI can load a trainer run without conversion.
+    """
+    path = os.path.abspath(path)
+    for sub in ("checkpts",):
+        if os.path.isdir(os.path.join(path, sub)):
+            path = os.path.join(path, sub)
+    for tag in ("model_best", "model_last"):
+        if os.path.isdir(os.path.join(path, tag)):
+            path = os.path.join(path, tag)
+            break
+    payload = ocp.StandardCheckpointer().restore(path)
+    state = payload.get("state", payload)
+    if not isinstance(state, dict) or "params" not in state:
+        raise ValueError(f"no 'params' tree in checkpoint at {path}")
+    variables = {"params": state["params"]}
+    for coll in ("batch_stats", "spectral"):
+        if state.get(coll):
+            variables[coll] = state[coll]
+    return fold_spectral_variables(variables) if fold_spectral else variables
