@@ -26,7 +26,15 @@ def main(argv=None):
     p.add_argument("--gt", type=str, required=True, help="ground-truth image dir")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--fid", action="store_true", default=False)
-    p.add_argument("--vgg_npz", type=str, default=None)
+    p.add_argument("--lpips", action="store_true", default=False)
+    p.add_argument("--is_score", action="store_true", default=False,
+                   help="Inception Score of the prediction folder")
+    p.add_argument("--vgg_npz", type=str, default=None,
+                   help="converted torchvision VGG19 weights (FID fallback + LPIPS backbone)")
+    p.add_argument("--lpips_lin", type=str, default=None,
+                   help="npz of learned LPIPS per-channel weights lin0..lin4")
+    p.add_argument("--inception_pkl", type=str, default=None,
+                   help="pickled flax InceptionV3 variables (FID extractor / IS head)")
     args = p.parse_args(argv)
 
     pred_files = io_lib.get_filelist(args.pred)
@@ -47,7 +55,10 @@ def main(argv=None):
         bgr = cv2.resize(bgr, (256, 256), interpolation=cv2.INTER_AREA)
         return cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
 
-    psnrs, ssims, colorf = [], [], []
+    lpips_fn, lpips_name = (
+        M.make_lpips(args.vgg_npz, args.lpips_lin) if args.lpips else (None, None)
+    )
+    psnrs, ssims, colorf, lpipss = [], [], [], []
     for s in range(0, len(pairs), args.batch):
         chunk = pairs[s : s + args.batch]
         pred = np.stack([load(a) for a, _ in chunk])
@@ -55,6 +66,8 @@ def main(argv=None):
         psnrs.extend(np.asarray(M.psnr(pred, gt)).tolist())
         ssims.extend(np.asarray(M.ssim(pred, gt)).tolist())
         colorf.extend(np.asarray(M.colorfulness(pred)).tolist())
+        if lpips_fn is not None:
+            lpipss.extend(np.asarray(lpips_fn(pred, gt)).tolist())
 
     result = {
         "psnr": float(np.mean(psnrs)) if psnrs else None,
@@ -62,8 +75,15 @@ def main(argv=None):
         "colorfulness": float(np.mean(colorf)) if colorf else None,
         "n": len(pairs),
     }
+    if lpips_fn is not None:
+        result["lpips"] = float(np.mean(lpipss)) if lpipss else None
+        result["lpips_extractor"] = lpips_name
     if args.fid:
-        result.update(M.fid_from_dirs(args.pred, args.gt, args.batch, args.vgg_npz))
+        result.update(
+            M.fid_from_dirs(args.pred, args.gt, args.batch, args.inception_pkl or args.vgg_npz)
+        )
+    if args.is_score:
+        result.update(M.inception_score_from_dir(args.pred, args.batch, args.inception_pkl))
     print(json.dumps(result))
 
 

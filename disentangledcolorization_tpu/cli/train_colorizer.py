@@ -146,9 +146,12 @@ def main(argv=None):
         feat_type=args.vgg_type,
     )
     state = replicate(mesh, state)
-    train_step = steps.make_colorizer_train_step(model, loss_bundle, remat=args.remat)
+    class_lambda = 1.0 - args.colorfulness  # reference train_colorizer.py:270-271
+    train_step = steps.make_colorizer_train_step(
+        model, loss_bundle, remat=args.remat, class_lambda=class_lambda
+    )
     eval_model = model
-    eval_step = steps.make_colorizer_eval_step(eval_model, loss_bundle)
+    eval_step = steps.make_colorizer_eval_step(eval_model, loss_bundle, class_lambda=class_lambda)
 
     base_key = jax.random.key(args.seed)
     with jax.set_mesh(mesh):

@@ -132,7 +132,16 @@ class InceptionE(nn.Module):
 
 
 class InceptionV3Features(nn.Module):
-    """Stem + Mixed_5b..7c -> global average pool -> (N, 2048)."""
+    """Stem + Mixed_5b..7c -> global average pool -> (N, 2048).
+
+    With ``with_logits=True`` the torchvision ``fc`` head (2048 -> 1000) is
+    applied and the class logits are returned instead — used by the Inception
+    Score metric (train/metrics.py::inception_score_from_dir), one of the
+    metrics the reference distributes as an external download
+    (/root/reference/README.md:109-118).
+    """
+
+    with_logits: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -156,4 +165,7 @@ class InceptionV3Features(nn.Module):
         x = InceptionD(name="Mixed_7a")(x)
         x = InceptionE(name="Mixed_7b")(x)
         x = InceptionE(name="Mixed_7c")(x)
-        return jnp.mean(x, axis=(1, 2))  # (N, 2048)
+        x = jnp.mean(x, axis=(1, 2))  # (N, 2048)
+        if self.with_logits:
+            x = nn.Dense(1000, name="fc")(x)  # torchvision fc head
+        return x

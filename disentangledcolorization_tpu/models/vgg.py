@@ -26,6 +26,9 @@ _VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M", 512, 512, 512
 _SLICES = {
     "liu": [2, 7, 12, 21, 30],
     "lei": [4, 9, 14, 23, 32],
+    # post-relu taps for LPIPS: relu1_2, relu2_2, relu3_4, relu4_4, relu5_4
+    # (the VGG19 adaptation of LPIPS-VGG's relu taps; train/metrics.py::make_lpips)
+    "lpips": [4, 9, 18, 27, 36],
 }
 SLICE_WEIGHTS = {
     "liu": [1.0 / 32, 1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0],

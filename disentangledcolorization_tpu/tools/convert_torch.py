@@ -286,12 +286,16 @@ if __name__ == "__main__":
     main()
 
 
-def convert_inception_torchvision(sd: Mapping[str, "np.ndarray"]) -> dict:
+def convert_inception_torchvision(
+    sd: Mapping[str, "np.ndarray"], include_fc: bool = False
+) -> dict:
     """torchvision inception_v3 state_dict -> InceptionV3Features flax variables.
 
     Generic walk: '<mod>.conv.weight' -> params[<mod>]/conv/kernel (HWIO),
     '<mod>.bn.{weight,bias}' -> params, running stats -> batch_stats.
-    fc / AuxLogits entries are ignored (feature extractor only).
+    AuxLogits entries are ignored; the ``fc`` classifier head is converted
+    only when ``include_fc`` (needed for Inception Score, where
+    InceptionV3Features(with_logits=True) consumes it).
     """
     params: dict = {}
     stats: dict = {}
@@ -304,7 +308,14 @@ def convert_inception_torchvision(sd: Mapping[str, "np.ndarray"]) -> dict:
         node[parts[-1]] = np.asarray(leaf)
 
     for k, v in sd.items():
-        if k.startswith(("fc.", "AuxLogits.")):
+        if k.startswith("AuxLogits."):
+            continue
+        if k.startswith("fc."):
+            if include_fc:
+                if k == "fc.weight":  # torch Linear (out, in) -> flax (in, out)
+                    set_path(params, "fc.kernel", np.asarray(v).T)
+                elif k == "fc.bias":
+                    set_path(params, "fc.bias", v)
             continue
         v = np.asarray(v)
         if k.endswith(".conv.weight"):

@@ -130,7 +130,7 @@ class AnchorColorProbLoss:
                 "term falls back to pixel L1 instead of the reference's VGG19 "
                 "perceptual loss (/root/reference/models/loss.py:78-84). This trains "
                 "a DIFFERENT objective than the paper. Pass --vgg_npz (converted via "
-                "tools/convert_torch.py::convert_vgg19) to restore it.",
+                "tools/convert_torch.py::convert_vgg19_torchvision) to restore it.",
                 stacklevel=2,
             )
 

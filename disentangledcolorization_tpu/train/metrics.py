@@ -171,6 +171,117 @@ def make_feature_extractor(npz_path: str | None = None):
     return lambda rgb: np.asarray(extract_rand(jnp.asarray(rgb))), "randproj-512"
 
 
+def inception_score(probs: np.ndarray, splits: int = 10) -> tuple[float, float]:
+    """Inception Score from (N, K) class probabilities: exp(E_x KL(p(y|x) || p(y))).
+
+    Salimans et al. 2016 definition with the standard 10-split mean/std.
+    One of the metrics the reference distributes as an external download
+    (/root/reference/README.md:109-118).
+    """
+    probs = np.asarray(probs, np.float64)
+    n = probs.shape[0]
+    splits = max(1, min(splits, n))
+    scores = []
+    for part in np.array_split(probs, splits):
+        marginal = part.mean(axis=0, keepdims=True)
+        kl = part * (np.log(np.maximum(part, 1e-16)) - np.log(np.maximum(marginal, 1e-16)))
+        scores.append(float(np.exp(kl.sum(axis=1).mean())))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+def inception_score_from_dir(
+    d: str, batch: int = 32, weights_path: str | None = None, splits: int = 10
+) -> dict:
+    """Inception Score of an image folder via InceptionV3 class probabilities.
+
+    ``weights_path``: pickled flax variables converted from torchvision's
+    inception_v3 with ``convert_inception_torchvision(sd, include_fc=True)``.
+    Without a weights drop the net is deterministically random-initialized —
+    the absolute number is then meaningless, but relative comparisons between
+    folders remain stable; the extractor name records which case applied.
+    """
+    import os
+    import pickle
+
+    import cv2
+    import jax
+
+    from ..models.inception import InceptionV3Features
+    from ..utils import io as io_lib
+
+    model = InceptionV3Features(with_logits=True)
+    if weights_path and os.path.exists(weights_path):
+        with open(weights_path, "rb") as f:
+            variables = pickle.load(f)
+        name = "inception-v3-torchvision"
+    else:
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 299, 299, 3), jnp.float32))
+        name = "inception-v3-randinit"
+
+    @jax.jit
+    def class_probs(rgb):
+        n, h, w, _ = rgb.shape
+        if (h, w) != (299, 299):
+            rgb = jax.image.resize(rgb, (n, 299, 299, 3), "bilinear")
+        return jax.nn.softmax(model.apply(variables, rgb), axis=-1)
+
+    files = io_lib.get_filelist(d)
+    all_probs = []
+    for s in range(0, len(files), batch):
+        imgs = []
+        for f in files[s : s + batch]:
+            bgr = cv2.imread(f, cv2.IMREAD_COLOR)
+            bgr = cv2.resize(bgr, (299, 299), interpolation=cv2.INTER_AREA)
+            imgs.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB) / 255.0)
+        all_probs.append(np.asarray(class_probs(jnp.asarray(np.asarray(imgs, np.float32)))))
+    mean, std = inception_score(np.concatenate(all_probs), splits=splits)
+    return {"is_mean": mean, "is_std": std, "is_extractor": name, "is_n": len(files)}
+
+
+def make_lpips(npz_path: str | None = None, lin_path: str | None = None):
+    """Returns (lpips_fn(rgb_a, rgb_b) -> (N,) distances, name).
+
+    LPIPS (Zhang et al. 2018) over VGG19 post-relu taps (relu1_2, relu2_2,
+    relu3_4, relu4_4, relu5_4): unit-normalize each activation along channels,
+    squared difference, per-channel linear weights, spatial mean, sum over
+    slices. ``lin_path`` is an .npz of per-slice weight vectors ``lin0..lin4``
+    (the learned LPIPS calibration); without it, uniform 1/C weights are used
+    ("unweighted" variant). ``npz_path`` is the converted torchvision VGG19
+    weights dump (models/vgg.py::load_vgg19_params); without a weights drop the
+    backbone is deterministically random-initialized (relative comparisons
+    only — same caveat as the FID fallback above; name records the case).
+    """
+    import jax
+
+    from ..models.vgg import VGG19Features, load_vgg19_params
+
+    model = VGG19Features(feat_type="lpips")
+    variables = load_vgg19_params(npz_path)
+    name = "lpips-vgg19" if variables is not None else "lpips-vgg19-randinit"
+    if variables is None:
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    lin = None
+    if lin_path:
+        raw = np.load(lin_path)
+        lin = [jnp.asarray(raw[f"lin{i}"], jnp.float32) for i in range(5)]
+        name += "-calibrated"
+
+    @jax.jit
+    def lpips_fn(rgb_a, rgb_b):
+        fa = model.apply(variables, rgb_a)
+        fb = model.apply(variables, rgb_b)
+        total = jnp.zeros(rgb_a.shape[0], jnp.float32)
+        for i, (x, y) in enumerate(zip(fa, fb)):
+            xn = x * jax.lax.rsqrt(jnp.sum(x * x, -1, keepdims=True) + 1e-10)
+            yn = y * jax.lax.rsqrt(jnp.sum(y * y, -1, keepdims=True) + 1e-10)
+            d = (xn - yn) ** 2
+            w = lin[i] if lin is not None else 1.0 / d.shape[-1]
+            total = total + jnp.mean(jnp.sum(d * w, axis=-1), axis=(1, 2))
+        return total
+
+    return lpips_fn, name
+
+
 def fid_from_dirs(dir_a: str, dir_b: str, batch: int = 32, npz_path: str | None = None) -> dict:
     """Compute FID between two image folders (resized to 256)."""
     import cv2

@@ -42,13 +42,19 @@ def make_spixel_train_step(model, kernel_size: int = 16):
 
 
 def make_colorizer_train_step(
-    model, loss_bundle: losses_lib.AnchorColorProbLoss, remat: bool = False
+    model,
+    loss_bundle: losses_lib.AnchorColorProbLoss,
+    remat: bool = False,
+    class_lambda: float = 0.5,
 ):
     """Colorizer training step (stage 2). Batch: {'gray': (N,H,W,1),
     'color': (N,H,W,2)}. The anchor k-means key and dropout key are split from
     a per-step base key for reproducibility. ``remat=True`` rematerializes the
     forward in the backward pass (jax.checkpoint) — trades FLOPs for HBM to fit
-    larger per-device batches."""
+    larger per-device batches. ``class_lambda`` is the class-rebalance mix
+    (reference ``ColorLabel(lambda_=1 - args.colorfulness)``,
+    train_colorizer.py:270-271 — the DISCO-c0.2 checkpoint is
+    ``--colorfulness 0.2``)."""
 
     def step(state: TrainState, batch: dict, base_key):
         anchor_key, dropout_key = jax.random.split(jax.random.fold_in(base_key, state.step))
@@ -75,7 +81,7 @@ def make_colorizer_train_step(
         def loss_fn(params):
             out, mutated = fwd(params, batch["gray"], batch["color"])
             gt_labels = out["token_labels"]
-            class_w = cl.get_classweights(gt_labels)
+            class_w = cl.get_classweights(gt_labels, class_lambda)
             data = {
                 "pal_logit": out["pal_logit"],
                 "ref_logit": out["ref_logit"],
@@ -102,7 +108,9 @@ def make_colorizer_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_colorizer_eval_step(model, loss_bundle: losses_lib.AnchorColorProbLoss):
+def make_colorizer_eval_step(
+    model, loss_bundle: losses_lib.AnchorColorProbLoss, class_lambda: float = 0.5
+):
     """Validation step: eval-mode forward (training anchor semantics, no
     dropout/BN update), returns loss metrics (train_colorizer.py:179-213)."""
 
@@ -117,7 +125,7 @@ def make_colorizer_eval_step(model, loss_bundle: losses_lib.AnchorColorProbLoss)
             rngs={"anchor": base_key},
         )
         gt_labels = out["token_labels"]
-        class_w = cl.get_classweights(gt_labels)
+        class_w = cl.get_classweights(gt_labels, class_lambda)
         data = {
             "pal_logit": out["pal_logit"],
             "ref_logit": out["ref_logit"],

@@ -12,23 +12,27 @@ import argparse
 
 
 def _add_common(parser: argparse.ArgumentParser):
+    # reference flag names are accepted as aliases (utils_argument.py:5-87)
     parser.add_argument("--seed", default=130, type=int, help="random seed")
-    parser.add_argument("--data", type=str, default="./data", help="dataset root or image dir")
+    parser.add_argument("--data", "--data_dir", type=str, default="./data",
+                        help="dataset root or image dir")
     parser.add_argument("--dataset", type=str, default="disco", choices=["disco", "imagenet", "coco"])
     parser.add_argument("--save_dir", type=str, default="./runs", help="output root")
-    parser.add_argument("--name", type=str, default="test", help="run / save dir name")
+    parser.add_argument("--name", "--exp_name", type=str, default="test", help="run / save dir name")
     parser.add_argument("--batch_size", default=16, type=int)
     parser.add_argument("--epochs", default=60, type=int)
     parser.add_argument("--lr", default=2e-4, type=float)
-    parser.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
+    parser.add_argument("--optimizer", "--optim", default="adam", choices=["adam", "sgd"])
     parser.add_argument("--wd", default=0.0, type=float, help="weight decay")
     parser.add_argument("--eval_freq", default=1, type=int, help="validate every N epochs")
-    parser.add_argument("--scheduler", default="poly", choices=["poly", "cosine", "plateau"])
-    parser.add_argument("--lr_decay_ratio", default=1.0, type=float)
+    parser.add_argument("--scheduler", default="poly",
+                        choices=["poly", "linear", "cosine", "plateau"],
+                        help="'poly' == the reference's 'linear' LambdaLR (accepted as alias)")
+    parser.add_argument("--lr_decay_ratio", "--decay_ratio", default=1.0, type=float)
     parser.add_argument("--resume", action="store_true", default=False)
     parser.add_argument("--checkpt", type=str, default="", help="checkpoint path")
-    parser.add_argument("--input_size", default=256, type=int)
-    parser.add_argument("--num_workers", default=4, type=int)
+    parser.add_argument("--input_size", "--input_dim", default=256, type=int)
+    parser.add_argument("--num_workers", "--workers", default=4, type=int)
     parser.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     # distributed (jax.distributed replaces torch.distributed.launch)
     parser.add_argument("--coordinator", type=str, default=None)
@@ -61,6 +65,9 @@ def pcolor_argparser() -> argparse.ArgumentParser:
     p.add_argument("--hint2regress", action="store_true", default=False)
     p.add_argument("--enhanced", action="store_true", default=False)
     p.add_argument("--in_gradient", action="store_true", default=False)
+    p.add_argument("--colorfulness", default=0.5, type=float,
+                   help="color class rebalance in training: lambda_ = 1 - colorfulness "
+                        "(reference train_colorizer.py:270; DISCO-c0.2 used 0.2)")
     p.add_argument("--vgg_type", default="liu", choices=["liu", "lei"], help="perceptual feature slices")
     p.add_argument("--d_mlp", default=256, type=int, help="transformer feedforward dim")
     p.add_argument("--n_clusters", default=8, type=int)

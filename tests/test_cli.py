@@ -100,13 +100,18 @@ def test_evaluate_cli(tmp_path, tiny_imgs, capsys):
 
     from disentangledcolorization_tpu.cli import evaluate
 
-    evaluate.main(["--pred", tiny_imgs, "--gt", tiny_imgs, "--batch", "2", "--fid"])
+    evaluate.main(
+        ["--pred", tiny_imgs, "--gt", tiny_imgs, "--batch", "2", "--fid", "--lpips", "--is_score"]
+    )
     out = capsys.readouterr().out.strip().splitlines()[-1]
     res = json.loads(out)
     assert res["n"] == 2
     assert res["psnr"] > 60  # identical dirs
     assert abs(res["ssim"] - 1.0) < 1e-3
     assert res["fid"] < 1e-3
+    assert res["lpips"] < 1e-6  # identical dirs
+    assert res["lpips_extractor"].startswith("lpips-vgg19")
+    assert res["is_mean"] > 0 and res["is_extractor"].startswith("inception-v3")
 
 
 def test_colorizer_api(tiny_imgs):
@@ -132,3 +137,22 @@ def test_colorizer_api(tiny_imgs):
     ab[1, 1] = (0.4, -0.3)
     out3 = c.colorize(img, hints=(mask, ab))
     assert out3.shape == img.shape
+
+
+def test_reference_flag_aliases():
+    """Reference trainer flag spellings parse as aliases (utils_argument.py:5-87)."""
+    from disentangledcolorization_tpu.train.optim import build_schedule
+    from disentangledcolorization_tpu.utils import config
+
+    p = config.pcolor_argparser()
+    a = p.parse_args(
+        ["--optim", "sgd", "--workers", "2", "--exp_name", "foo", "--data_dir", "/tmp/x",
+         "--input_dim", "224", "--decay_ratio", "0.01", "--scheduler", "linear",
+         "--colorfulness", "0.2"]
+    )
+    assert a.optimizer == "sgd" and a.num_workers == 2 and a.name == "foo"
+    assert a.data == "/tmp/x" and a.input_size == 224
+    assert a.lr_decay_ratio == 0.01 and a.scheduler == "linear"
+    assert a.colorfulness == 0.2
+    sched = build_schedule("linear", 2e-4, 60, 100, a.lr_decay_ratio)
+    assert abs(float(sched(0)) - 2e-4) < 1e-9

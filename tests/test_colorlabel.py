@@ -95,3 +95,21 @@ def test_classweights_match_reference(reference_modules):
     ref = labeler.get_classweights(torch.from_numpy(idx)).numpy()
     ours = np.asarray(cl.get_classweights(jnp.asarray(idx)))
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_classweights_colorfulness_lambda_matches_reference(reference_modules):
+    """--colorfulness threading: lambda_ = 1 - colorfulness (the DISCO-c0.2
+    recipe is --colorfulness 0.2 -> lambda_ 0.8; train_colorizer.py:270-271)."""
+    torch = reference_modules["torch"]
+    basic = reference_modules["basic"]
+    idx = np.array([[0, 50], [200, 312]], dtype=np.int64)
+    for colorfulness in (0.2, 0.5, 0.9):
+        lam = 1.0 - colorfulness
+        labeler = basic.ColorLabel(lambda_=lam, device=torch.device("cpu"))
+        ref = labeler.get_classweights(torch.from_numpy(idx)).numpy()
+        ours = np.asarray(cl.get_classweights(jnp.asarray(idx), lam))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5)
+    # smaller lambda (higher colorfulness) upweights rare colors more
+    w_low = np.asarray(cl.get_classweights(jnp.asarray(idx), 0.2)).max()
+    w_high = np.asarray(cl.get_classweights(jnp.asarray(idx), 0.8)).max()
+    assert w_low > w_high

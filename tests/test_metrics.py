@@ -136,3 +136,83 @@ def test_inception_converter_roundtrip():
 
     same_structure(variables["params"], converted["params"])
     same_structure(variables["batch_stats"], converted["batch_stats"])
+
+
+def test_inception_score_math():
+    """Uniform p(y|x) -> IS 1; balanced one-hot predictions -> IS = n_classes."""
+    k = 8
+    uniform = np.full((16, k), 1.0 / k)
+    mean, std = M.inception_score(uniform, splits=4)
+    assert abs(mean - 1.0) < 1e-6 and std < 1e-6
+    onehot = np.eye(k)[np.arange(16) % k] * 0.999 + 0.001 / k
+    mean, _ = M.inception_score(onehot, splits=1)
+    assert abs(mean - k) < 0.1 * k
+
+
+def test_inception_logits_head_and_fc_converter():
+    """with_logits=True adds the torchvision fc head; converter fills it."""
+    import jax
+    import jax.numpy as jnp
+
+    from disentangledcolorization_tpu.models.inception import InceptionV3Features
+    from disentangledcolorization_tpu.tools.convert_torch import convert_inception_torchvision
+
+    m = InceptionV3Features(with_logits=True)
+    variables = jax.eval_shape(lambda: m.init(jax.random.key(0), jnp.zeros((1, 299, 299, 3))))
+    out = jax.eval_shape(lambda v: m.apply(v, jnp.zeros((1, 299, 299, 3))), variables)
+    assert out.shape == (1, 1000)
+    assert variables["params"]["fc"]["kernel"].shape == (2048, 1000)
+
+    sd = {"fc.weight": np.zeros((1000, 2048), np.float32), "fc.bias": np.zeros(1000, np.float32)}
+    conv = convert_inception_torchvision(sd, include_fc=True)
+    assert conv["params"]["fc"]["kernel"].shape == (2048, 1000)
+    assert conv["params"]["fc"]["bias"].shape == (1000,)
+    assert "fc" not in convert_inception_torchvision(sd)["params"]
+
+
+def test_lpips_properties():
+    """LPIPS: zero on identical inputs, positive and symmetric on distinct ones,
+    and monotone in perturbation size."""
+    lpips_fn, name = M.make_lpips()
+    assert name == "lpips-vgg19-randinit"  # no weights drop in this env
+    rng = np.random.default_rng(7)
+    a = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    b = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    d_same = np.asarray(lpips_fn(a, a))
+    assert d_same.shape == (2,)
+    np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
+    d_ab = np.asarray(lpips_fn(a, b))
+    d_ba = np.asarray(lpips_fn(b, a))
+    assert (d_ab > 1e-4).all()
+    np.testing.assert_allclose(d_ab, d_ba, rtol=1e-4)
+    small = np.clip(a + 0.02 * rng.normal(size=a.shape).astype(np.float32), 0, 1)
+    d_small = np.asarray(lpips_fn(a, small))
+    assert (d_small < d_ab).all()
+
+
+def test_lpips_calibrated_weights(tmp_path):
+    """A lin0..lin4 npz reweights channels; zero weights give zero distance."""
+    from disentangledcolorization_tpu.models.vgg import _SLICES, _VGG19_CFG
+
+    # channel count at each lpips tap = channels of the conv preceding the tap
+    chans = []
+    idx_to_ch = {}
+    i = 0
+    for c in _VGG19_CFG:
+        if c == "M":
+            idx_to_ch[i] = None
+            i += 1
+        else:
+            idx_to_ch[i] = c
+            idx_to_ch[i + 1] = c
+            i += 2
+    for b in _SLICES["lpips"]:
+        chans.append(idx_to_ch[b - 1])
+    path = tmp_path / "lin.npz"
+    np.savez(path, **{f"lin{i}": np.zeros(c, np.float32) for i, c in enumerate(chans)})
+    lpips_fn, name = M.make_lpips(lin_path=str(path))
+    assert name.endswith("-calibrated")
+    rng = np.random.default_rng(8)
+    a = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    b = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(lpips_fn(a, b)), 0.0, atol=1e-7)
