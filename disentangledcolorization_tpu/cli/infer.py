@@ -136,10 +136,13 @@ def main(argv=None):
     key = jax.random.key(args.seed)
     t_start = time.time()
     n_done = 0
+    calibrated = False
+    if args.quantize == "int8":
+        os.environ["DISCO_INT8"] = "0"  # off until calibrated (first batch)
     from ..utils.logging import profiler_trace
 
     def process_batch(grays_np, colors_np, names, orig_sizes):
-        nonlocal key, n_done
+        nonlocal key, n_done, variables, calibrated
         key, sub = jax.random.split(key)
         grays = jnp.asarray(grays_np)
         colors = jnp.asarray(colors_np)
@@ -149,6 +152,19 @@ def main(argv=None):
         elif spatial_sharding is not None:
             grays = jax.device_put(grays, spatial_sharding)
             colors = jax.device_put(colors, spatial_sharding)
+        if args.quantize == "int8" and not calibrated:
+            # one f32 calibration pass on the first batch records per-conv
+            # activation ranges (ops/quant.py); subsequent traces of
+            # ``forward`` run the wide convs in int8 with those static scales
+            os.environ["DISCO_INT8"] = "calib"
+            _, mut = jax.jit(
+                lambda v, g, c, k: model.apply(
+                    v, g, c, True, sampled_T, False, rngs={"anchor": k}, mutable=["quant"]
+                )
+            )(variables, grays, colors, sub)
+            variables = {**variables, **jax.block_until_ready(mut)}
+            os.environ["DISCO_INT8"] = "static"
+            calibrated = True
         pred_ab, guided, hint_mask, affinity = forward(variables, grays, colors, sub)
         pred_ab = np.asarray(pred_ab, np.float32)
         guided = np.asarray(guided, np.float32)

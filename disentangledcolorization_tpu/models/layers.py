@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import quant
+
 Dtype = Any
 
 
@@ -68,7 +70,7 @@ class Conv(nn.Module):
     def __call__(self, x):
         k = _pair(self.kernel_size)
         p = self.padding if self.padding is not None else (k[0] - 1) // 2
-        return nn.Conv(
+        mod = nn.Conv(
             features=self.features,
             kernel_size=k,
             strides=_pair(self.stride),
@@ -77,7 +79,31 @@ class Conv(nn.Module):
             # follow the activation dtype (bf16 activations w/ f32 params)
             dtype=self.dtype or x.dtype,
             name="conv",
-        )(x)
+        )
+        if quant.quant_enabled() and x.shape[-1] >= quant.MIN_CH:
+            # int8 PTQ inference path (DISCO_INT8, see ops/quant.py).
+            mode = quant.quant_mode()
+            amax = None
+            if mode in ("calib", "static"):
+                amax_var = self.variable(
+                    "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+                )
+                if mode == "calib":
+                    # record the activation range, run the exact f32 conv
+                    if not self.is_initializing():
+                        amax_var.value = jnp.maximum(
+                            amax_var.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                        )
+                    return mod(x)
+                amax = amax_var.value * quant.CALIB_MARGIN
+            # register params via a dummy call (same tree paths as the plain
+            # path; XLA dead-codes the tiny dummy conv), then run quantized
+            _ = mod(jnp.zeros((1, 4, 4, x.shape[-1]), x.dtype))
+            pr = mod.variables["params"]
+            return quant.int8_conv(
+                x, pr["kernel"], pr.get("bias"), stride=self.stride, padding=p, act_amax=amax
+            )
+        return mod(x)
 
 
 class SNConv(nn.Module):
@@ -136,6 +162,25 @@ class SNConv(nn.Module):
             w = kernel / jax.lax.stop_gradient(sigma)
 
         dtype = self.dtype or x.dtype
+        if quant.quant_enabled() and self.folded and in_ch >= quant.MIN_CH:
+            # int8 PTQ inference path (DISCO_INT8; folded weights only —
+            # the un-folded training path keeps the spectral-norm dynamics)
+            mode = quant.quant_mode()
+            amax = None
+            if mode in ("calib", "static"):
+                amax_var = self.variable(
+                    "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+                )
+                if mode == "static":
+                    amax = amax_var.value * quant.CALIB_MARGIN
+                elif not self.is_initializing():
+                    amax_var.value = jnp.maximum(
+                        amax_var.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                    )
+            if mode != "calib":
+                return quant.int8_conv(
+                    x, w, bias, stride=self.stride, padding=p, out_dtype=dtype, act_amax=amax
+                )
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
             w.astype(dtype),

@@ -73,6 +73,23 @@ def test_infer_cli_no_resize_and_diverse(tmp_path, tiny_imgs):
     assert img.shape[:2] == (48, 40)
 
 
+def test_infer_cli_quantize_int8(tmp_path, tiny_imgs):
+    """--quantize int8: first-batch calibration then static int8 convs; output
+    PNGs land as usual and stay close to the f32 run (ops/quant.py)."""
+    import cv2
+
+    d_ref = _run_infer(tmp_path / "a", tiny_imgs, ["--no_resize"])
+    d_q = _run_infer(tmp_path / "b", tiny_imgs, ["--no_resize", "--quantize", "int8"])
+    assert os.environ.get("DISCO_INT8") == "static"  # calibration engaged
+    os.environ.pop("DISCO_INT8", None)
+    for name in ("im0.png", "im1.png"):
+        ref = cv2.imread(os.path.join(d_ref, name)).astype(np.int16)
+        q = cv2.imread(os.path.join(d_q, name)).astype(np.int16)
+        assert q.shape == ref.shape
+        # int8 PTQ on random weights: small per-pixel drift, same image
+        assert np.abs(ref - q).mean() < 16.0, name
+
+
 def test_infer_cli_shard_spatial_matches_replicated(tmp_path, tiny_imgs):
     """--shard_spatial (H-axis GSPMD sharding for huge no_resize inputs) must
     reproduce the single-device output up to fp reduce-order noise."""
@@ -137,6 +154,25 @@ def test_colorizer_api(tiny_imgs):
     ab[1, 1] = (0.4, -0.3)
     out3 = c.colorize(img, hints=(mask, ab))
     assert out3.shape == img.shape
+
+
+def test_colorizer_api_quantize(tiny_imgs):
+    """Colorizer(quantize='int8') calibrates on the first call and keeps
+    producing images close to the f32 path."""
+    import cv2
+
+    from disentangledcolorization_tpu.api import Colorizer
+
+    img = cv2.cvtColor(cv2.imread(os.path.join(tiny_imgs, "im0.jpg")), cv2.COLOR_BGR2RGB)
+    try:
+        ref = Colorizer(n_clusters=2, compute_dtype="float32", seed=3).colorize(img)
+        c = Colorizer(n_clusters=2, compute_dtype="float32", seed=3, quantize="int8")
+        out = c.colorize(img)
+        assert c._calibrated and os.environ.get("DISCO_INT8") == "static"
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert np.abs(ref.astype(np.int16) - out.astype(np.int16)).mean() < 16.0
+    finally:
+        os.environ.pop("DISCO_INT8", None)
 
 
 def test_reference_flag_aliases():
