@@ -33,6 +33,7 @@ from ..train.state import TrainState, segnet_frozen_mask
 from ..utils import io as io_lib
 from ..utils.config import pcolor_argparser
 from ..utils.logging import MetricsWriter, StepTimer, build_logger
+from ..utils.signals import GracefulShutdown
 
 
 def _merge_segnet(variables: dict, spixel_vars: dict) -> dict:
@@ -148,18 +149,21 @@ def main(argv=None):
     state = replicate(mesh, state)
     class_lambda = 1.0 - args.colorfulness  # reference train_colorizer.py:270-271
     train_step = steps.make_colorizer_train_step(
-        model, loss_bundle, remat=args.remat, class_lambda=class_lambda
+        model, loss_bundle, remat=args.remat, class_lambda=class_lambda,
+        grad_accum=args.grad_accum,
     )
     eval_model = model
     eval_step = steps.make_colorizer_eval_step(eval_model, loss_bundle, class_lambda=class_lambda)
 
     base_key = jax.random.key(args.seed)
-    with jax.set_mesh(mesh):
+    with jax.set_mesh(mesh), GracefulShutdown() as shutdown:
         for epoch in range(start_epoch, args.epochs):
             train_loader.set_epoch(epoch)
             timer = StepTimer()
             sums, n_steps = {}, 0
             for it, batch in enumerate(train_loader):
+                if shutdown.requested:
+                    break
                 batch = shard_batch(mesh, {"gray": batch["gray"], "color": batch["color"]})
                 timer.mark_data()
                 state, metrics = train_step(state, batch, base_key)
@@ -178,6 +182,18 @@ def main(argv=None):
             if is_main:
                 for k, v in sums.items():
                     writer_t.scalar(f"train/{k}", v / max(n_steps, 1), epoch)
+
+            if shutdown.requested:
+                # preemption: one final "last" snapshot, then a clean exit.
+                # Saved epoch = the one we were in, so --resume redoes it.
+                if is_main:
+                    logger.info(
+                        f"shutdown signal received at epoch {epoch} iter {n_steps}: "
+                        "checkpointing and exiting"
+                    )
+                    host_state = jax.tree_util.tree_map(np.asarray, state)
+                    mgr.save("last", host_state, epoch, best_loss)
+                break
 
             # validation (+ intermediate image dumps, train_colorizer.py:215-243)
             if (epoch + 1) % args.eval_freq != 0 and epoch + 1 != args.epochs:

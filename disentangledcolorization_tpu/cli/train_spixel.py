@@ -29,6 +29,7 @@ from ..train.state import TrainState
 from ..utils import io as io_lib
 from ..utils.config import spixel_argparser
 from ..utils.logging import MetricsWriter, StepTimer, build_logger
+from ..utils.signals import GracefulShutdown
 
 
 def main(argv=None):
@@ -98,12 +99,14 @@ def main(argv=None):
 
     ids, _ = sp.init_spixel_grid(args.input_size, args.input_size, args.psize)
 
-    with jax.set_mesh(mesh):
+    with jax.set_mesh(mesh), GracefulShutdown() as shutdown:
         for epoch in range(start_epoch, args.epochs):
             train_loader.set_epoch(epoch)
             timer = StepTimer()
             ep_loss, n_steps = 0.0, 0
             for it, batch in enumerate(train_loader):
+                if shutdown.requested:
+                    break
                 batch = shard_batch(mesh, add_coord(batch))
                 timer.mark_data()
                 state, metrics = train_step(state, batch, jax.random.key(args.seed))
@@ -120,6 +123,18 @@ def main(argv=None):
             ep_loss /= max(n_steps, 1)
             if is_main:
                 writer_t.scalar("train/totalLoss", ep_loss, epoch)
+
+            if shutdown.requested:
+                # preemption: final "last" snapshot (epoch not advanced so
+                # --resume redoes it), then a clean exit
+                if is_main:
+                    logger.info(
+                        f"shutdown signal received at epoch {epoch} iter {n_steps}: "
+                        "checkpointing and exiting"
+                    )
+                    host_state = jax.tree_util.tree_map(np.asarray, state)
+                    mgr.save("last", host_state, epoch, best_loss)
+                break
 
             # validation + visual dumps (train_spixel.py:173-226)
             val_loss, vn = 0.0, 0

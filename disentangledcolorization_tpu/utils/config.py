@@ -76,6 +76,10 @@ def pcolor_argparser() -> argparse.ArgumentParser:
     p.add_argument("--vgg_npz", type=str, default="", help="converted VGG19 weights for the perceptual loss")
     p.add_argument("--remat", action="store_true", default=False,
                    help="rematerialize the forward in backward (larger batches, more FLOPs)")
+    p.add_argument("--grad_accum", default=1, type=int,
+                   help="gradient accumulation: split each batch into this many microbatches "
+                        "and apply one averaged update (reproduces the reference's 4-GPU "
+                        "global-batch-96 recipe on fewer chips)")
     return p
 
 
