@@ -206,7 +206,18 @@ def main(argv=None):
                 vn += 1
                 if is_main and it == 0:
                     _dump_val_images(model, state, b, run_dir, epoch, args)
-            val_loss /= max(vn, 1)
+            if vn == 0:
+                # val set smaller than the global batch (drop_last): a silent
+                # 0.0 here would be recorded as a spurious "best"
+                if is_main:
+                    logger.warning(
+                        "validation produced no batches (val set < global batch); "
+                        "saving 'last' only"
+                    )
+                    host_state = jax.tree_util.tree_map(np.asarray, state)
+                    mgr.save("last", host_state, epoch + 1, best_loss)
+                continue
+            val_loss /= vn
             if is_main:
                 writer_v.scalar("val/totalLoss", val_loss, epoch)
                 logger.info(f"epoch {epoch}: val {val_loss:.4f}")
