@@ -25,10 +25,12 @@ The reference repo publishes no throughput numbers (SURVEY.md section 6).
 Production config measured here: bf16 conv activations + int8 PTQ on the wide
 convs with first-batch-calibrated static activation scales (ops/quant.py;
 DISCO_INT8=static is the default — set DISCO_INT8=0 for the pure-bf16 path).
-Measured v5e, batch 56: static int8 499.2 img/s vs bf16 381.8 (+31%); dynamic
-per-call scales REFUTED at 370.0 (the per-conv max-reduce costs more than the
-MXU saves). Output cost: mean 0.3 / worst-pixel ~7 ab units vs f32 on the
-bundled images with random weights (tools/int8_quality.py).
+Measured v5e: static int8 499.2 img/s at batch 56 vs bf16 381.8 (+31%);
+dynamic per-call scales REFUTED at 370.0 (the per-conv max-reduce costs more
+than the MXU saves). int8's halved activation footprint moves the batch knee
+from 56 to 128: 671.1 img/s (2026-08-18 sweep, see BATCH below). Output cost:
+mean 0.3 / worst-pixel ~7 ab units vs f32 on the bundled images with random
+weights (tools/int8_quality.py).
 """
 
 from __future__ import annotations
@@ -49,10 +51,12 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 # using the int8 peak keeps the check conservative).
 V5E_INT8_PEAK_TOPS = 394.0
 
-BATCH = 56  # sweet spot on v5e. Round-2 sweeps (img/s): b8 295, b16 299,
-# b32 331->364 (after bf16-operand pooling), then b48 379.0, b56 381.8,
-# b64 371.7 (2026-08-17). The round-1 "batch-24/32 cliff" did not reproduce
-# after the f32-affinity fix.
+BATCH = 128  # sweet spot on v5e under int8 PTQ. bf16 sweeps (img/s): b8 295,
+# b16 299, b32 331->364 (after bf16-operand pooling), b48 379.0, b56 381.8,
+# b64 371.7 (2026-08-17). int8 halves activation HBM so the knee moves way up
+# (2026-08-18 sweep): b56 499.4, b64 511.2, b80 528.2, b96 618.9, b112 629.6,
+# b128 671.1 (repeat 670.0), b144 489.3 (16x9 tiling regression), b160 559.1.
+# The round-1 "batch-24/32 cliff" did not reproduce after the f32-affinity fix.
 H = W = 256
 ITERS = 12
 

@@ -175,7 +175,7 @@ class Colorizer:
     # so an unconstrained dynamic batcher would trigger a fresh multi-second
     # compile for every new request count. Batches are padded up to the next
     # bucket (repeating the last image) and the padding outputs dropped.
-    BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 56)
+    BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 56, 128)
 
     def _batch_bucket(self, n: int) -> int:
         b = next((b for b in self.BATCH_BUCKETS if n <= b), n)

@@ -7,7 +7,8 @@ surface a TPU production user needs. Design:
 * ``DynamicBatcher`` — the TPU-friendly serving core. Single dispatcher
   thread owns the device; requests enqueue from any thread and are grouped
   by bucket-padded shape into one ``Colorizer.colorize_batch`` dispatch of up
-  to ``max_batch`` images (batch-56 is the measured v5e sweet spot, bench.py).
+  to ``max_batch`` images (batch-128 is the measured v5e sweet spot under
+  int8 PTQ, bench.py; bf16 knee is 56).
   Batching happens opportunistically: whatever is queued when the device
   frees up goes out together — no added latency when idle, near-peak
   throughput under load. Results return via per-request futures.
@@ -41,7 +42,7 @@ from .api import Colorizer
 class DynamicBatcher:
     """Groups concurrent colorize requests into single device dispatches."""
 
-    def __init__(self, colorizer: Colorizer, max_batch: int = 56, max_wait_ms: float = 2.0):
+    def __init__(self, colorizer: Colorizer, max_batch: int = 128, max_wait_ms: float = 2.0):
         self.colorizer = colorizer
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
@@ -172,10 +173,10 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8712)
     ap.add_argument("--checkpt", default="", help="checkpoint (.pkl or reference .pth.tar)")
     ap.add_argument("--n_clusters", type=int, default=8)
-    ap.add_argument("--max_batch", type=int, default=56)
+    ap.add_argument("--max_batch", type=int, default=128)
     ap.add_argument("--max_wait_ms", type=float, default=2.0)
     ap.add_argument(
-        "--warmup", default="1,8,56",
+        "--warmup", default="1,8,56,128",
         help="comma-separated 256x256 batch buckets to pre-compile ('' to skip)",
     )
     ap.add_argument(

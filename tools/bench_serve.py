@@ -7,7 +7,7 @@ client threads submit back-to-back requests for a fixed duration; reports
 sustained img/s, latency percentiles, and the achieved mean batch size.
 
 Run: python tools/bench_serve.py [--clients 64] [--seconds 20] [--size 256]
-                                 [--max_batch 56] [--checkpt w.pkl]
+                                 [--max_batch 128] [--checkpt w.pkl]
 """
 
 from __future__ import annotations
@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--clients", type=int, default=64)
     ap.add_argument("--seconds", type=float, default=20.0)
     ap.add_argument("--size", type=int, default=256)
-    ap.add_argument("--max_batch", type=int, default=56)
+    ap.add_argument("--max_batch", type=int, default=128)
     ap.add_argument("--max_wait_ms", type=float, default=2.0)
     ap.add_argument("--checkpt", default="")
     ap.add_argument("--n_clusters", type=int, default=8)
