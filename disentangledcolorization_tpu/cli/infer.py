@@ -137,6 +137,16 @@ def main(argv=None):
     t_start = time.time()
     n_done = 0
     calibrated = False
+    # PNG writes go through a background thread unless --prefetch 0 (serial
+    # reference behavior); flush() at the end re-raises any write error
+    if args.prefetch > 0:
+        writer = io_lib.AsyncWriter()
+        save = writer.submit
+    else:
+        writer = None
+
+        def save(fn, *a, **k):
+            fn(*a, **k)
     if args.quantize == "int8":
         os.environ["DISCO_INT8"] = "0"  # off until calibrated (first batch)
     from ..utils.logging import profiler_trace
@@ -184,17 +194,17 @@ def main(argv=None):
                     lab = np.concatenate([grays_np[i], pred_ab[no * nb + i]], axis=-1)[None]
                     if args.no_resize:
                         lab = lab[:, :h, :w]
-                    io_lib.save_normLabs_from_batch(lab, save_dir, [names[i]], -1, suffix=f"c{no}")
+                    save(io_lib.save_normLabs_from_batch, lab, save_dir, [names[i]], -1, suffix=f"c{no}")
             else:
                 lab = np.concatenate([grays_np[i], pred_ab[i]], axis=-1)[None]
                 if args.no_resize:
                     lab = lab[:, :h, :w]
-                io_lib.save_normLabs_from_batch(lab, save_dir, [names[i]], -1)
+                save(io_lib.save_normLabs_from_batch, lab, save_dir, [names[i]], -1)
                 if args.save_guided:
                     glab = np.concatenate([grays_np[i], guided[i]], axis=-1)[None]
                     if args.no_resize:
                         glab = glab[:, :h, :w]
-                    io_lib.save_normLabs_from_batch(glab, save_dir, [names[i]], -1, suffix="guided")
+                    save(io_lib.save_normLabs_from_batch, glab, save_dir, [names[i]], -1, suffix="guided")
                 if args.save_anchors:
                     masks = sp.upfeat(hint_mask[i : i + 1], affinity[i : i + 1], args.psize, args.psize)
                     marked = hints_ops.mark_color_hints(
@@ -203,37 +213,47 @@ def main(argv=None):
                     marked = np.asarray(marked)
                     if args.no_resize:
                         marked = marked[:, :h, :w]
-                    io_lib.save_normLabs_from_batch(marked, save_dir, [names[i]], -1, suffix="anchors")
+                    save(io_lib.save_normLabs_from_batch, marked, save_dir, [names[i]], -1, suffix="anchors")
             n_done += 1
 
-    trace_ctx = profiler_trace(args.trace_dir or None)
-    trace_ctx.__enter__()
     if args.no_resize:
         # arbitrary resolutions: per-image, jit cache per padded shape bucket
         # (--bucket > 16 pads further to reduce distinct compiled shapes)
         bucket = max(args.bucket, args.psize)
-        for pth in img_list:
-            name = os.path.splitext(os.path.basename(pth))[0] + ".png"
-            print(f"-processing {os.path.basename(pth)} ...")
-            gray, ab, _, (h, w) = io_lib.fetch_image_lab(pth, no_resize=True, scale=bucket)
-            process_batch(gray[None], ab[None], [name], [(h, w)])
+
+        def decode_batches():
+            for pth in img_list:
+                name = os.path.splitext(os.path.basename(pth))[0] + ".png"
+                print(f"-processing {os.path.basename(pth)} ...")
+                gray, ab, _, (h, w) = io_lib.fetch_image_lab(pth, no_resize=True, scale=bucket)
+                yield gray[None], ab[None], [name], [(h, w)]
     else:
         bs = max(args.batch_size, 1)
-        for s in range(0, len(img_list), bs):
-            chunk = img_list[s : s + bs]
-            grays, colors, names, sizes = [], [], [], []
-            for pth in chunk:
-                g, ab, _, hw = io_lib.fetch_image_lab(pth, no_resize=False)
-                grays.append(g)
-                colors.append(ab)
-                names.append(os.path.splitext(os.path.basename(pth))[0] + ".png")
-                sizes.append(hw)
-            pad = bs - len(chunk)
-            gb = np.stack(grays + [grays[-1]] * pad)
-            cb = np.stack(colors + [colors[-1]] * pad)
-            process_batch(gb, cb, names + [None] * pad, sizes + [None] * pad)
 
-    trace_ctx.__exit__(None, None, None)
+        def decode_batches():
+            for s in range(0, len(img_list), bs):
+                chunk = img_list[s : s + bs]
+                grays, colors, names, sizes = [], [], [], []
+                for pth in chunk:
+                    g, ab, _, hw = io_lib.fetch_image_lab(pth, no_resize=False)
+                    grays.append(g)
+                    colors.append(ab)
+                    names.append(os.path.splitext(os.path.basename(pth))[0] + ".png")
+                    sizes.append(hw)
+                pad = bs - len(chunk)
+                gb = np.stack(grays + [grays[-1]] * pad)
+                cb = np.stack(colors + [colors[-1]] * pad)
+                yield gb, cb, names + [None] * pad, sizes + [None] * pad
+
+    with profiler_trace(args.trace_dir or None):
+        # pipeline: a background thread decodes batch b+1 while the device
+        # computes batch b and the async writer saves batch b-1's PNGs. The
+        # reference's loop is fully serial (inference.py:93-133); --prefetch 0
+        # restores that.
+        for item in io_lib.prefetch_iter(decode_batches(), depth=args.prefetch):
+            process_batch(*item)
+        if writer is not None:
+            writer.flush()
     print(f"-processed {n_done} imgs. consumed {time.time() - t_start:.3f} sec")
 
 

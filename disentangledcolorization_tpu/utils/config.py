@@ -119,6 +119,12 @@ def inference_argparser() -> argparse.ArgumentParser:
     )
     p.add_argument("--trace_dir", type=str, default="", help="jax.profiler trace output dir")
     p.add_argument(
+        "--prefetch", default=2, type=int,
+        help="decode-ahead depth: image batches are decoded on a background "
+        "thread while the device computes, and PNGs are written by an async "
+        "writer — set 0 for the fully serial reference behavior",
+    )
+    p.add_argument(
         "--shard_spatial", action="store_true", default=False,
         help="no_resize: shard the image H axis over all devices (GSPMD halo "
         "exchange) — the context-parallel analog for huge inputs that do not "

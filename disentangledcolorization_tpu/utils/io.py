@@ -192,10 +192,15 @@ def save_dict(save_path, d):
 
 class AsyncWriter:
     """Background-thread writer for metrics/images (reference PlotterThread,
-    util.py:29-53): callers enqueue (fn, args) without blocking the step loop."""
+    util.py:29-53): callers enqueue (fn, args) without blocking the step loop.
+
+    A failing write records the first exception and keeps the thread draining
+    (so ``flush`` can never deadlock on a dead worker); ``flush`` re-raises it
+    on the caller's thread."""
 
     def __init__(self):
         self.q: Queue = Queue(maxsize=0)
+        self._error: Exception | None = None
         t = Thread(target=self._work, daemon=True)
         t.start()
 
@@ -204,6 +209,9 @@ class AsyncWriter:
             fn, args, kwargs = self.q.get()
             try:
                 fn(*args, **kwargs)
+            except Exception as e:  # noqa: BLE001 — surfaced at flush()
+                if self._error is None:  # keep draining; report the first
+                    self._error = e
             finally:
                 self.q.task_done()
 
@@ -212,9 +220,44 @@ class AsyncWriter:
 
     def flush(self):
         self.q.join()
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
     def __len__(self):
         return self.q.qsize()
+
+
+def prefetch_iter(it, depth: int = 2):
+    """Run ``it`` on a background thread, buffering up to ``depth`` items —
+    overlaps host-side decode with device compute in the inference CLI.
+
+    ``depth <= 0`` yields from ``it`` directly (fully serial). Exceptions in
+    the producer propagate to the consumer at the point of the failed item.
+    """
+    if depth <= 0:
+        yield from it
+        return
+    q: Queue = Queue(maxsize=depth)
+    sentinel = object()
+
+    def run():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
+            q.put(e)
+            return
+        q.put(sentinel)
+
+    Thread(target=run, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def get_gauss_kernel(size: int, sigma: float) -> np.ndarray:

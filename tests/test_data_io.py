@@ -116,3 +116,46 @@ def test_dataloader_producer_error_propagates(tmp_path):
     loader = data_lib.DataLoader(Boom(), batch_size=2, shuffle=False, num_workers=1)
     with pytest.raises(ValueError, match="decode failed"):
         list(loader)
+
+
+def test_prefetch_iter_order_and_exceptions():
+    from disentangledcolorization_tpu.utils.io import prefetch_iter
+
+    assert list(prefetch_iter(iter(range(7)), depth=2)) == list(range(7))
+    assert list(prefetch_iter(iter(range(3)), depth=0)) == [0, 1, 2]  # serial path
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("decode failed")
+
+    got = []
+    import pytest
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for x in prefetch_iter(boom(), depth=2):
+            got.append(x)
+    assert got == [1, 2]
+
+
+def test_async_writer_surfaces_errors_at_flush():
+    from disentangledcolorization_tpu.utils.io import AsyncWriter
+
+    w = AsyncWriter()
+    results = []
+    w.submit(results.append, 1)
+
+    def fail():
+        raise ValueError("disk full")
+
+    w.submit(fail)
+    w.submit(results.append, 2)  # queue keeps draining after the failure
+    import pytest
+
+    with pytest.raises(ValueError, match="disk full"):
+        w.flush()
+    assert results == [1, 2]
+    # after re-raising once, the writer is usable again
+    w.submit(results.append, 3)
+    w.flush()
+    assert results == [1, 2, 3]
