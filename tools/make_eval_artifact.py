@@ -148,6 +148,24 @@ def main(argv=None):
         )
         metrics = json.loads(eval_out.stdout.strip().splitlines()[-1])
 
+        # int8 drift: re-run the same inference with the production PTQ path
+        # (bench.py's headline config) and score its outputs AGAINST the f32
+        # outputs — the per-round record of what quantization costs.
+        int8_dir = os.path.join(td, "int8")
+        int8_cmd = [
+            a if a != td else int8_dir for a in infer_cmd
+        ] + ["--quantize", "int8"]
+        subprocess.run(int8_cmd, check=True, cwd=REPO)
+        int8_pred = os.path.join(int8_dir, f"eval-anchor{args.n_clusters}")
+        drift_out = subprocess.run(
+            [
+                sys.executable, "-m", "disentangledcolorization_tpu.cli.evaluate",
+                "--pred", int8_pred, "--gt", pred_dir, "--batch", "4",
+            ],
+            check=True, cwd=REPO, capture_output=True, text=True,
+        )
+        int8_drift = json.loads(drift_out.stdout.strip().splitlines()[-1])
+
     artifact = {
         "round": args.round,
         "pipeline": "random-reference-weights -> convert_torch -> cli.infer -> cli.evaluate",
@@ -159,6 +177,12 @@ def main(argv=None):
             "produce the reportable number (target FID 10.47, BASELINE.md)"
         ),
         "metrics": metrics,
+        "int8_drift_vs_f32": {
+            "note": "production PTQ outputs scored against the f32 outputs "
+                    "(same seed/weights); PSNR/SSIM here measure quantization "
+                    "cost only",
+            **{k: v for k, v in int8_drift.items() if k != "fid"},
+        },
         "wall_seconds": round(time.time() - t0, 1),
     }
     with open(out_path, "w") as f:
