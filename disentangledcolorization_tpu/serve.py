@@ -39,23 +39,48 @@ import numpy as np
 from .api import Colorizer
 
 
-class DynamicBatcher:
-    """Groups concurrent colorize requests into single device dispatches."""
+class QueueFullError(RuntimeError):
+    """Backpressure signal: the batcher's bounded queue is at capacity."""
 
-    def __init__(self, colorizer: Colorizer, max_batch: int = 128, max_wait_ms: float = 2.0):
+
+class DynamicBatcher:
+    """Groups concurrent colorize requests into single device dispatches.
+
+    The queue is BOUNDED (``max_queue``): when the device can't keep up,
+    ``submit`` raises :class:`QueueFullError` immediately instead of letting
+    latency (and host memory) grow without limit — the HTTP front maps that
+    to 429 so load balancers can shed or retry elsewhere.
+    """
+
+    def __init__(
+        self,
+        colorizer: Colorizer,
+        max_batch: int = 128,
+        max_wait_ms: float = 2.0,
+        max_queue: int = 512,
+    ):
         self.colorizer = colorizer
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
-        self._q: queue.Queue = queue.Queue()
-        self._stats = {"requests": 0, "batches": 0, "max_batch_seen": 0}
+        self._q: queue.Queue = queue.Queue(maxsize=max(max_queue, 1))
+        self._stats = {"requests": 0, "batches": 0, "max_batch_seen": 0, "rejected": 0}
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def submit(self, image: np.ndarray) -> Future:
-        """Enqueue one image; resolves to a (H, W, 3) uint8 RGB array."""
+        """Enqueue one image; resolves to a (H, W, 3) uint8 RGB array.
+
+        Raises :class:`QueueFullError` when the queue is at capacity.
+        """
         fut: Future = Future()
-        self._q.put((image, fut))
+        try:
+            self._q.put_nowait((image, fut))
+        except queue.Full:
+            self._stats["rejected"] += 1
+            raise QueueFullError(
+                f"serving queue full ({self._q.maxsize} pending)"
+            ) from None
         return fut
 
     def colorize(self, image: np.ndarray, timeout: float | None = None) -> np.ndarray:
@@ -66,7 +91,10 @@ class DynamicBatcher:
 
     def close(self):
         self._stop.set()
-        self._q.put(None)
+        try:
+            self._q.put_nowait(None)  # wake a blocked dispatcher; ok if full
+        except queue.Full:
+            pass
         self._thread.join(timeout=5)
 
     # -- dispatcher thread ----------------------------------------------------
@@ -81,7 +109,10 @@ class DynamicBatcher:
             items = pending
             pending = []
             if not items:
-                got = self._q.get()
+                try:
+                    got = self._q.get(timeout=0.25)  # bounded wait: honor close()
+                except queue.Empty:
+                    continue
                 if got is None:
                     break
                 items = [got]
@@ -118,7 +149,12 @@ class DynamicBatcher:
             fut.cancel()
 
 
-def make_handler(batcher: DynamicBatcher):
+def make_handler(
+    batcher: DynamicBatcher,
+    max_body_bytes: int = 32 * 1024 * 1024,
+    max_pixels: int = 4096 * 4096,
+    request_timeout_s: float = 30.0,
+):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet by default; stats via /healthz
             pass
@@ -147,13 +183,45 @@ def make_handler(batcher: DynamicBatcher):
             if self.path != "/colorize":
                 self._send(404, b"not found", "text/plain")
                 return
-            n = int(self.headers.get("Content-Length", 0))
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._send(400, b"bad Content-Length", "text/plain")
+                return
+            if n <= 0:
+                self._send(400, b"empty body", "text/plain")
+                return
+            if n > max_body_bytes:
+                self._send(413, f"payload too large (cap {max_body_bytes} bytes)".encode(), "text/plain")
+                return
             raw = self.rfile.read(n)
             bgr = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
             if bgr is None:
                 self._send(400, b"could not decode image", "text/plain")
                 return
-            rgb = batcher.colorize(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+            if bgr.shape[0] * bgr.shape[1] > max_pixels:
+                self._send(
+                    413,
+                    f"image too large ({bgr.shape[1]}x{bgr.shape[0]}; cap {max_pixels} px)".encode(),
+                    "text/plain",
+                )
+                return
+            try:
+                rgb = batcher.colorize(
+                    cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB), timeout=request_timeout_s
+                )
+            except QueueFullError:
+                self.send_response(429)
+                self.send_header("Retry-After", "1")
+                body = b"server overloaded, retry later"
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            except TimeoutError:
+                self._send(504, f"request timed out after {request_timeout_s}s".encode(), "text/plain")
+                return
             ok, png = cv2.imencode(".png", cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
             if not ok:
                 self._send(500, b"encode failed", "text/plain")
@@ -163,8 +231,21 @@ def make_handler(batcher: DynamicBatcher):
     return Handler
 
 
-def build_server(host: str, port: int, batcher: DynamicBatcher) -> ThreadingHTTPServer:
-    return ThreadingHTTPServer((host, port), make_handler(batcher))
+def build_server(
+    host: str,
+    port: int,
+    batcher: DynamicBatcher,
+    max_body_bytes: int = 32 * 1024 * 1024,
+    max_pixels: int = 4096 * 4096,
+    request_timeout_s: float = 30.0,
+) -> ThreadingHTTPServer:
+    handler = make_handler(
+        batcher,
+        max_body_bytes=max_body_bytes,
+        max_pixels=max_pixels,
+        request_timeout_s=request_timeout_s,
+    )
+    return ThreadingHTTPServer((host, port), handler)
 
 
 def main(argv=None):
@@ -175,6 +256,14 @@ def main(argv=None):
     ap.add_argument("--n_clusters", type=int, default=8)
     ap.add_argument("--max_batch", type=int, default=128)
     ap.add_argument("--max_wait_ms", type=float, default=2.0)
+    ap.add_argument("--max_queue", type=int, default=512,
+                    help="pending-request cap; overflow -> 429")
+    ap.add_argument("--max_body_bytes", type=int, default=32 * 1024 * 1024,
+                    help="request payload cap; overflow -> 413")
+    ap.add_argument("--max_pixels", type=int, default=4096 * 4096,
+                    help="decoded image pixel cap; overflow -> 413")
+    ap.add_argument("--request_timeout", type=float, default=30.0,
+                    help="per-request wall budget in seconds; overrun -> 504")
     ap.add_argument(
         "--warmup", default="1,8,56,128",
         help="comma-separated 256x256 batch buckets to pre-compile ('' to skip)",

@@ -128,6 +128,103 @@ def test_http_roundtrip():
         b.close()
 
 
+class SlowColorizer(FakeColorizer):
+    """Blocks inside colorize_batch until released — lets tests fill the queue."""
+
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self.release = threading.Event()
+
+    def colorize_batch(self, images, key=None):
+        self.release.wait(timeout=30)
+        return super().colorize_batch(images, key)
+
+
+def test_batcher_backpressure_queue_full():
+    from disentangledcolorization_tpu.serve import DynamicBatcher, QueueFullError
+
+    slow = SlowColorizer()
+    b = DynamicBatcher(slow, max_batch=2, max_wait_ms=1.0, max_queue=2)
+    try:
+        # first submit gets drained into the (blocked) dispatcher; then fill
+        # the 2-slot queue; the next submit must be rejected, not buffered
+        futs = [b.submit(make_img(16, 16, 1))]
+        import time
+
+        time.sleep(0.3)  # let the dispatcher pull + block in colorize_batch
+        futs += [b.submit(make_img(16, 16, 2)), b.submit(make_img(16, 16, 3))]
+        with pytest.raises(QueueFullError):
+            b.submit(make_img(16, 16, 4))
+        assert b.stats()["rejected"] == 1
+        slow.release.set()
+        for f in futs:
+            f.result(timeout=10)  # accepted work still completes
+    finally:
+        slow.release.set()
+        b.close()
+
+
+def _post(port, data, timeout=30):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/colorize", data=data, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_http_limits_and_timeouts():
+    import cv2
+
+    from disentangledcolorization_tpu.serve import DynamicBatcher, build_server
+
+    slow = SlowColorizer()
+    b = DynamicBatcher(slow, max_batch=2, max_wait_ms=1.0, max_queue=1)
+    srv = build_server(
+        "127.0.0.1", 0, b,
+        max_body_bytes=10_000, max_pixels=64 * 64, request_timeout_s=0.5,
+    )
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        # oversized payload -> 413 before any decode work
+        code, body = _post(port, b"x" * 20_000)
+        assert code == 413 and b"payload too large" in body
+        # decoded image above the pixel cap -> 413
+        ok, png = cv2.imencode(".png", make_img(100, 100, 7))
+        assert ok
+        code, body = _post(port, png.tobytes())
+        assert code == 413 and b"image too large" in body
+        # empty body -> 400
+        code, _ = _post(port, b"")
+        assert code == 400
+        # dispatcher blocked -> per-request budget (0.5s) trips -> 504
+        ok, small = cv2.imencode(".png", make_img(16, 16, 7))
+        code, body = _post(port, small.tobytes())
+        assert code == 504
+        # keep the queue saturated so a further request is shed with 429
+        results = []
+
+        def hammer():
+            results.append(_post(port, small.tobytes()))
+
+        threads = [threading.Thread(target=hammer) for _ in range(6)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=30)
+        codes = [c for c, _ in results]
+        assert 429 in codes, f"expected at least one 429, got {codes}"
+        slow.release.set()
+    finally:
+        slow.release.set()
+        srv.shutdown()
+        b.close()
+
+
 def test_colorize_batch_real_model():
     import cv2
 
