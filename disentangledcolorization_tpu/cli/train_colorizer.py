@@ -124,7 +124,9 @@ def main(argv=None):
 
     steps_per_epoch = max(len(train_loader), 1)
     schedule = optim.build_schedule(args.scheduler, args.lr, args.epochs, steps_per_epoch, args.lr_decay_ratio)
-    tx = optim.build_optimizer(args.optimizer, schedule, weight_decay=args.wd)
+    tx = optim.build_optimizer(
+        args.optimizer, schedule, weight_decay=args.wd, grad_clip=args.grad_clip
+    )
     state = TrainState.create(variables, tx, trainable_mask=segnet_frozen_mask(variables["params"]))
     mgr = CheckpointManager(os.path.join(run_dir, "checkpts"))
     start_epoch, best_loss = 0, float("inf")
@@ -179,6 +181,17 @@ def main(argv=None):
                         f"rec {float(metrics['recLoss']):.4f} "
                         f"(io/proc {s['io_proc_ratio']:.2f}, {s['images_per_sec']:.1f} img/s)"
                     )
+            ep_total = sums.get("totalLoss", 0.0) / max(n_steps, 1)
+            if not np.isfinite(ep_total):
+                # fail fast and DON'T overwrite 'last' with poisoned params
+                # (soft-pool 1/mass^2 backward spike — see train/optim.py)
+                if is_main:
+                    logger.error(
+                        f"non-finite train loss at epoch {epoch} ({ep_total}); "
+                        "aborting WITHOUT checkpointing. Resume from the last "
+                        "finite checkpoint, ideally with --grad_clip > 0."
+                    )
+                break
             if is_main:
                 for k, v in sums.items():
                     writer_t.scalar(f"train/{k}", v / max(n_steps, 1), epoch)

@@ -69,7 +69,9 @@ def main(argv=None):
 
     steps_per_epoch = max(len(train_loader), 1)
     schedule = optim.build_schedule(args.scheduler, args.lr, args.epochs, steps_per_epoch, args.lr_decay_ratio)
-    tx = optim.build_optimizer(args.optimizer, schedule, weight_decay=args.wd)
+    tx = optim.build_optimizer(
+        args.optimizer, schedule, weight_decay=args.wd, grad_clip=args.grad_clip
+    )
     state = TrainState.create(variables, tx)
     mgr = CheckpointManager(os.path.join(run_dir, "checkpts"))
     start_epoch, best_loss = 0, float("inf")
@@ -121,6 +123,17 @@ def main(argv=None):
                         f"(io/proc {s['io_proc_ratio']:.2f}, {s['images_per_sec']:.1f} img/s)"
                     )
             ep_loss /= max(n_steps, 1)
+            if not np.isfinite(ep_loss):
+                # fail fast and DON'T overwrite 'last' with poisoned params —
+                # resume from the last finite checkpoint (use --grad_clip to
+                # bound the soft-pool 1/mass^2 backward spike, train/optim.py)
+                if is_main:
+                    logger.error(
+                        f"non-finite train loss at epoch {epoch} ({ep_loss}); "
+                        "aborting WITHOUT checkpointing. Resume from the last "
+                        "finite checkpoint, ideally with --grad_clip > 0."
+                    )
+                break
             if is_main:
                 writer_t.scalar("train/totalLoss", ep_loss, epoch)
 

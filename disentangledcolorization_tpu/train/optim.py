@@ -41,8 +41,18 @@ def build_optimizer(
     beta1: float = 0.9,
     beta2: float = 0.999,
     momentum: float = 0.9,
+    grad_clip: float = 0.0,
 ) -> optax.GradientTransformation:
-    """adam / sgd, matching reference defaults (utils_train.py:20-30)."""
+    """adam / sgd, matching reference defaults (utils_train.py:20-30).
+
+    ``grad_clip`` > 0 prepends global-norm clipping. The reference never
+    clips, so the default is off — but the soft-pool normalization
+    (ops/superpixel.py::poolfeat: feat_sum / (mass + 1e-8)) has a
+    1/mass**2 backward that explodes when a superpixel's soft mass
+    collapses toward zero (observed: healthy 17-epoch descent, then NaN,
+    small-batch overfit run 2026-08-19). Clipping bounds that spike
+    without changing forward semantics.
+    """
     if name == "adam":
         tx = optax.adam(schedule, b1=beta1, b2=beta2)
     elif name == "sgd":
@@ -51,6 +61,15 @@ def build_optimizer(
         raise ValueError(f"unknown optimizer {name!r}")
     if weight_decay:
         tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    if grad_clip and grad_clip > 0:
+        # clip alone is not enough: an Inf gradient (f32 overflow in the
+        # backward) times a zero clip factor is NaN — so also skip whole
+        # updates that contain non-finite values (finite-but-huge ones are
+        # clipped; Inf/NaN ones are dropped, and training continues)
+        tx = optax.apply_if_finite(
+            optax.chain(optax.clip_by_global_norm(grad_clip), tx),
+            max_consecutive_errors=100,
+        )
     return tx
 
 

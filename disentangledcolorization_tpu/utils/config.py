@@ -29,6 +29,10 @@ def _add_common(parser: argparse.ArgumentParser):
                         choices=["poly", "linear", "cosine", "plateau"],
                         help="'poly' == the reference's 'linear' LambdaLR (accepted as alias)")
     parser.add_argument("--lr_decay_ratio", "--decay_ratio", default=1.0, type=float)
+    parser.add_argument("--grad_clip", default=0.0, type=float,
+                        help="global-norm gradient clip (0 = off, reference-"
+                             "faithful; guards the soft-pool 1/mass^2 "
+                             "backward spike, train/optim.py)")
     parser.add_argument("--resume", action="store_true", default=False)
     parser.add_argument("--checkpt", type=str, default="", help="checkpoint path")
     parser.add_argument("--input_size", "--input_dim", default=256, type=int)

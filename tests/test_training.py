@@ -182,3 +182,153 @@ def test_colorizer_grad_accum_rejects_indivisible_batch():
     )
     with pytest.raises(ValueError, match="grad_accum"):
         step(state, batch, jax.random.key(0))
+
+
+def test_colorizer_bf16_train_step_sound():
+    """--compute_dtype bfloat16 training: finite f32 master grads, loss
+    decreases, and the bf16 gradient points the same way as the f32 one
+    (global cosine similarity). Guards the CLI's bf16 training flag
+    (cli/train_colorizer.py --compute_dtype) against the bf16 numerics traps
+    this codebase has hit elsewhere (GT-label pooling, k-means distances)."""
+    rng = np.random.default_rng(21)
+    batch = {
+        "gray": jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 1)).astype(np.float32)),
+        "color": jnp.asarray(rng.uniform(-0.5, 0.5, (2, 64, 64, 2)).astype(np.float32)),
+    }
+    init_rngs = {
+        "params": jax.random.key(0), "anchor": jax.random.key(1), "dropout": jax.random.key(2),
+    }
+    bundle = losses.AnchorColorProbLoss(enhanced=True)
+    from disentangledcolorization_tpu.ops import colorlabel as cl
+
+    # pin the anchor mask: the anchor-location pick is a k-means + argmax — a
+    # DISCRETE choice that bf16 rounding can legitimately flip, structurally
+    # changing the objective. Gradient-direction comparison is only meaningful
+    # with the discrete structure held fixed (same rationale as the converted-
+    # weight parity tests, tests/test_convert.py).
+    fixed_mask = np.zeros((2, 4, 4, 1), np.float32)
+    for y, x in [(1, 1), (2, 3), (3, 0), (0, 2)]:
+        fixed_mask[:, y, x, 0] = 1.0
+    fixed_mask = jnp.asarray(fixed_mask)
+
+    grads_by_dtype = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        model = AnchorColorProb(
+            sp_size=16, n_clusters=4, enhanced=True, dropout=0.0, compute_dtype=dtype
+        )
+        variables = model.init(init_rngs, batch["gray"], batch["color"], False, 0, True)
+
+        def loss_fn(params, variables=variables, model=model):
+            out, _ = model.apply(
+                {**variables, "params": params},
+                batch["gray"], batch["color"], False, 0, True,
+                rngs={"anchor": jax.random.key(5), "dropout": jax.random.key(6)},
+                mutable=["batch_stats", "spectral"],
+                hint_mask_override=fixed_mask,
+            )
+            gt_labels = out["token_labels"]
+            data = {
+                "pal_logit": out["pal_logit"],
+                "ref_logit": out["ref_logit"],
+                "target_label": gt_labels,
+                "class_weight": cl.get_classweights(gt_labels, 0.5),
+                "spix_color": out["spix_colors"],
+                "input_gray": batch["gray"],
+                "input_color": batch["color"],
+                "pred_color": out["pred_colors"],
+            }
+            metrics = bundle(data)
+            return metrics["totalLoss"], metrics
+
+        (loss, metrics), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
+            variables["params"]
+        )
+        # master grads must be finite and f32 regardless of compute dtype
+        for leaf in jax.tree_util.tree_leaves(grads):
+            assert leaf.dtype == jnp.float32, f"non-f32 grad leaf under {dtype}"
+            assert bool(jnp.isfinite(leaf).all()), f"non-finite grad under {dtype}"
+        assert np.isfinite(float(loss))
+        grads_by_dtype[jnp.dtype(dtype).name] = grads
+
+    def tree_cos(a, b):
+        fa = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(a)])
+        fb = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(b)])
+        return float(np.dot(fa, fb) / (np.linalg.norm(fa) * np.linalg.norm(fb) + 1e-12))
+
+    g32, g16 = grads_by_dtype["float32"], grads_by_dtype["bfloat16"]
+    # Token/transformer path: bf16 grads match f32 essentially exactly.
+    for sub in ("wildpath", "mid_word_prj", "trg_word_prj"):
+        c = tree_cos(g32[sub], g16[sub])
+        assert c > 0.98, f"bf16 {sub} gradient diverges: cos={c:.4f}"
+    # Conv stacks (repnet/hourglass): ~40 BN-renormalized conv layers amplify
+    # bf16 rounding at random init (measured 2026-08-19: repnet cos 0.32,
+    # enhanceNet 0.79, while the LOSSES agree to 1e-3 and pal/ref logits to
+    # 2e-2 — the noisy component lives in low-curvature directions). The
+    # soundness criterion for these is positive alignment (a descent
+    # direction) plus the convergence A/B below, not pointwise grad equality.
+    trainable32 = {k: v for k, v in g32.items() if k != "segnet"}
+    trainable16 = {k: v for k, v in g16.items() if k != "segnet"}
+    c_all = tree_cos(trainable32, trainable16)
+    assert c_all > 0.2, f"bf16 gradient not a descent direction: cos={c_all:.4f}"
+
+    # convergence A/B: 12 identical train steps must reach a comparable loss
+    # in both dtypes — the practical criterion for "bf16 training is sound"
+    finals = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        model = AnchorColorProb(
+            sp_size=16, n_clusters=4, enhanced=False, dropout=0.0, compute_dtype=dtype
+        )
+        variables = model.init(init_rngs, batch["gray"], batch["color"], False, 0, True)
+        state = TrainState.create(
+            dict(variables), optim.build_optimizer("adam", 1e-3),
+            trainable_mask=segnet_frozen_mask(variables["params"]),
+        )
+        step = steps.make_colorizer_train_step(model, losses.AnchorColorProbLoss(enhanced=False))
+        first = last = None
+        for _ in range(12):
+            state, metrics = step(state, batch, jax.random.key(42))
+            val = float(metrics["totalLoss"])
+            assert np.isfinite(val)
+            first = val if first is None else first
+            last = val
+        assert last < first * 0.9, f"{jnp.dtype(dtype).name} loss did not decrease: {first} -> {last}"
+        finals[jnp.dtype(dtype).name] = last
+    assert finals["bfloat16"] < finals["float32"] * 1.25 + 0.5, (
+        f"bf16 converges measurably worse than f32: {finals}"
+    )
+
+
+def test_grad_clip_optimizer_robust_to_spikes():
+    """--grad_clip > 0 must (a) clip huge-but-finite gradients and (b) SKIP
+    updates containing Inf/NaN (an Inf grad times a zero clip factor would
+    otherwise write NaN into the params — observed failure mode of the
+    soft-pool 1/mass^2 backward, runs/overfit 2026-08-19)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from disentangledcolorization_tpu.train import optim
+
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    tx = optim.build_optimizer("adam", 1e-2, grad_clip=1.0)
+    state = tx.init(params)
+
+    # huge but finite -> clipped to norm 1, params move by ~lr and stay finite
+    huge = {"w": jnp.full((4,), 1e20, jnp.float32)}
+    updates, state = tx.update(huge, state, params)
+    params2 = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    assert np.isfinite(np.asarray(params2["w"])).all()
+    assert np.abs(np.asarray(params2["w"]) - 1.0).max() < 0.1
+
+    # non-finite -> whole update skipped, params unchanged
+    bad = {"w": jnp.asarray([jnp.inf, 1.0, jnp.nan, 2.0], jnp.float32)}
+    updates, state = tx.update(bad, state, params2)
+    params3 = jax.tree_util.tree_map(lambda p, u: p + u, params2, updates)
+    np.testing.assert_array_equal(np.asarray(params3["w"]), np.asarray(params2["w"]))
+
+    # recovery: a normal gradient after the skip still trains
+    ok = {"w": jnp.full((4,), 0.5, jnp.float32)}
+    updates, state = tx.update(ok, state, params3)
+    params4 = jax.tree_util.tree_map(lambda p, u: p + u, params3, updates)
+    assert not np.array_equal(np.asarray(params4["w"]), np.asarray(params3["w"]))
+    assert np.isfinite(np.asarray(params4["w"])).all()
