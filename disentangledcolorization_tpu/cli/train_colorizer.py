@@ -89,13 +89,18 @@ def main(argv=None):
     )
     example_g = jnp.zeros((1, args.input_size, args.input_size, 1), jnp.float32)
     example_c = jnp.zeros((1, args.input_size, args.input_size, 2), jnp.float32)
-    variables = model.init(
+    # jitted init: eager init through the axon tunnel costs one round trip per
+    # op (~minutes for this model); one compiled call is ~20 s (same fix as
+    # bench.py). xavier_reinit is jitted for the same reason.
+    variables = jax.jit(model.init, static_argnums=(3, 4, 5))(
         {"params": jax.random.key(args.seed), "anchor": jax.random.key(1), "dropout": jax.random.key(2)},
         example_g, example_c, False, 0, True,
     )
     # blanket xavier re-init of matrices, as the reference ctor does (model.py:73-76)
     variables = dict(variables)
-    variables["params"] = xavier_reinit_params(jax.random.key(args.seed + 7), variables["params"])
+    variables["params"] = jax.jit(xavier_reinit_params)(
+        jax.random.key(args.seed + 7), variables["params"]
+    )
 
     # frozen stage-1 superpixel net
     if args.spixel_ckpt:
@@ -169,6 +174,9 @@ def main(argv=None):
                 batch = shard_batch(mesh, {"gray": batch["gray"], "color": batch["color"]})
                 timer.mark_data()
                 state, metrics = train_step(state, batch, base_key)
+                # ONE device->host transfer for all scalars: each float() of a
+                # device scalar is a separate ~28 ms axon-tunnel round trip
+                metrics = jax.device_get(metrics)
                 timer.mark_step(global_batch)
                 n_steps += 1
                 for k, v in metrics.items():
@@ -204,7 +212,7 @@ def main(argv=None):
                         f"shutdown signal received at epoch {epoch} iter {n_steps}: "
                         "checkpointing and exiting"
                     )
-                    host_state = jax.tree_util.tree_map(np.asarray, state)
+                    host_state = jax.device_get(state)  # one batched transfer (vs per-leaf tunnel round trips)
                     mgr.save("last", host_state, epoch, best_loss)
                 break
 
@@ -227,14 +235,14 @@ def main(argv=None):
                         "validation produced no batches (val set < global batch); "
                         "saving 'last' only"
                     )
-                    host_state = jax.tree_util.tree_map(np.asarray, state)
+                    host_state = jax.device_get(state)  # one batched transfer (vs per-leaf tunnel round trips)
                     mgr.save("last", host_state, epoch + 1, best_loss)
                 continue
             val_loss /= vn
             if is_main:
                 writer_v.scalar("val/totalLoss", val_loss, epoch)
                 logger.info(f"epoch {epoch}: val {val_loss:.4f}")
-                host_state = jax.tree_util.tree_map(np.asarray, state)
+                host_state = jax.device_get(state)  # one batched transfer (vs per-leaf tunnel round trips)
                 mgr.save("last", host_state, epoch + 1, min(best_loss, val_loss))
                 if val_loss < best_loss:
                     best_loss = val_loss
@@ -245,22 +253,38 @@ def main(argv=None):
         logger.info("done.")
 
 
+_dump_fwd_cache: dict = {}
+
+
 def _dump_val_images(model, state, batch, run_dir, epoch, args, max_n: int = 4):
-    """Decode pal/ref predictions, unpool, and save visualization panels."""
-    out = model.apply(
-        state.variables(),
-        batch["gray"][:max_n],
-        batch["color"][:max_n],
-        False,
-        0,
-        False,
-        rngs={"anchor": jax.random.key(epoch)},
+    """Decode pal/ref predictions, unpool, and save visualization panels.
+
+    The whole device-side computation is one jitted graph (compiled once,
+    reused every dump): an eager forward through the axon TPU tunnel costs
+    one round trip per op, which would dominate the epoch time."""
+    from ..ops import hints as hints_ops
+
+    if id(model) not in _dump_fwd_cache:
+
+        @jax.jit
+        def fwd(variables, gray, color, akey):
+            out = model.apply(variables, gray, color, False, 0, False, rngs={"anchor": akey})
+            pal_ab = cl.decode_ind2ab(out["pal_logit"], T=0.38)
+            pal_full = sp.upfeat(pal_ab, out["affinity_map"], args.psize, args.psize)
+            ref_ab = (
+                out["ref_logit"] if args.hint2regress else cl.decode_ind2ab(out["ref_logit"], T=0)
+            )
+            ref_full = sp.upfeat(ref_ab, out["affinity_map"], args.psize, args.psize)
+            anchor_masks = sp.upfeat(out["hint_mask"], out["affinity_map"], args.psize, args.psize)
+            marked = hints_ops.mark_color_hints(gray, ref_full, anchor_masks, base_abs=ref_full)
+            return pal_full, ref_full, out["pred_colors"], marked
+
+        _dump_fwd_cache[id(model)] = fwd
+
+    pal_full, ref_full, pred_colors, marked = _dump_fwd_cache[id(model)](
+        state.variables(), batch["gray"][:max_n], batch["color"][:max_n], jax.random.key(epoch)
     )
     grays = np.asarray(batch["gray"][:max_n])
-    pal_ab = cl.decode_ind2ab(out["pal_logit"], T=0.38)
-    pal_full = sp.upfeat(pal_ab, out["affinity_map"], args.psize, args.psize)
-    ref_ab = out["ref_logit"] if args.hint2regress else cl.decode_ind2ab(out["ref_logit"], T=0)
-    ref_full = sp.upfeat(ref_ab, out["affinity_map"], args.psize, args.psize)
     dump_dir = os.path.join(run_dir, "val_imgs")
     io_lib.save_normLabs_from_batch(
         np.concatenate([grays, np.asarray(pal_full)], -1), dump_dir, [], epoch, suffix="pal"
@@ -268,21 +292,15 @@ def _dump_val_images(model, state, batch, run_dir, epoch, args, max_n: int = 4):
     io_lib.save_normLabs_from_batch(
         np.concatenate([grays, np.asarray(ref_full)], -1), dump_dir, [], epoch, suffix="ref"
     )
-    if out["pred_colors"] is not None:
+    if pred_colors is not None:
         io_lib.save_normLabs_from_batch(
-            np.concatenate([grays, np.asarray(out["pred_colors"][:max_n])], -1),
+            np.concatenate([grays, np.asarray(pred_colors)], -1),
             dump_dir,
             [],
             epoch,
             suffix="enhanced",
         )
     # anchor-location panel (train_colorizer.py:236 equivalent)
-    from ..ops import hints as hints_ops
-
-    anchor_masks = sp.upfeat(out["hint_mask"], out["affinity_map"], args.psize, args.psize)
-    marked = hints_ops.mark_color_hints(
-        jnp.asarray(grays), ref_full, anchor_masks, base_abs=ref_full
-    )
     io_lib.save_normLabs_from_batch(np.asarray(marked), dump_dir, [], epoch, suffix="hints")
 
 

@@ -62,7 +62,9 @@ def main(argv=None):
     model = SpixelSeg(train=True)
     eval_model = SpixelSeg(train=False)
     example = jnp.zeros((1, args.input_size, args.input_size, 1), jnp.float32)
-    variables = model.init(jax.random.key(args.seed), example)
+    # jitted init: eager init through the axon TPU tunnel pays one round trip
+    # per op; one compiled call is far cheaper (same fix as bench.py)
+    variables = jax.jit(model.init)(jax.random.key(args.seed), example)
     if is_main:
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
         logger.info(f"SpixelSeg params: {n_params / 1e6:.2f}M, devices: {n_dev}")
@@ -112,6 +114,7 @@ def main(argv=None):
                 batch = shard_batch(mesh, add_coord(batch))
                 timer.mark_data()
                 state, metrics = train_step(state, batch, jax.random.key(args.seed))
+                metrics = jax.device_get(metrics)  # one tunnel round trip for all scalars
                 timer.mark_step(global_batch)
                 loss = float(metrics["totalLoss"])
                 ep_loss += loss
@@ -145,7 +148,7 @@ def main(argv=None):
                         f"shutdown signal received at epoch {epoch} iter {n_steps}: "
                         "checkpointing and exiting"
                     )
-                    host_state = jax.tree_util.tree_map(np.asarray, state)
+                    host_state = jax.device_get(state)  # one batched transfer (vs per-leaf tunnel round trips)
                     mgr.save("last", host_state, epoch, best_loss)
                 break
 
@@ -173,14 +176,14 @@ def main(argv=None):
                         "validation produced no batches (val set < global batch); "
                         "saving 'last' only"
                     )
-                    host_state = jax.tree_util.tree_map(np.asarray, state)
+                    host_state = jax.device_get(state)  # one batched transfer (vs per-leaf tunnel round trips)
                     mgr.save("last", host_state, epoch + 1, best_loss)
                 continue
             val_loss /= vn
             if is_main:
                 writer_v.scalar("val/totalLoss", val_loss, epoch)
                 logger.info(f"epoch {epoch}: train {ep_loss:.4f} val {val_loss:.4f}")
-                host_state = jax.tree_util.tree_map(np.asarray, state)
+                host_state = jax.device_get(state)  # one batched transfer (vs per-leaf tunnel round trips)
                 mgr.save("last", host_state, epoch + 1, min(best_loss, val_loss))
                 if val_loss < best_loss:
                     best_loss = val_loss

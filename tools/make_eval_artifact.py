@@ -113,6 +113,15 @@ def main(argv=None):
     ap.add_argument("--out", type=str, default="")
     ap.add_argument("--data", type=str, default=os.path.join(REF, "data"))
     ap.add_argument("--n_clusters", type=int, default=8)
+    ap.add_argument(
+        "--checkpt", type=str, default="",
+        help="trained/converted weights (pkl, .pth.tar, or Orbax run dir); "
+        "default = random reference weights through the converter (pipeline proof)",
+    )
+    ap.add_argument(
+        "--save_images", type=str, default="",
+        help="also copy the f32 output PNGs to this directory (committed evidence)",
+    )
     args = ap.parse_args(argv)
     out_path = args.out or os.path.join(
         REPO, f"EVAL_r{args.round:02d}.json" if args.round else "EVAL.json"
@@ -120,15 +129,18 @@ def main(argv=None):
 
     t0 = time.time()
     with tempfile.TemporaryDirectory() as td:
-        ckpt = os.path.join(td, "disco_rand_converted.pkl")
-        # converter runs in a subprocess so reference sys.path hacking cannot
-        # leak into this interpreter
-        code = (
-            "import sys; sys.path.insert(0, {repo!r}); "
-            "from tools.make_eval_artifact import make_converted_random_reference_weights as f; "
-            "f({ckpt!r}, {k})"
-        ).format(repo=REPO, ckpt=ckpt, k=args.n_clusters)
-        subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO)
+        if args.checkpt:
+            ckpt = args.checkpt
+        else:
+            ckpt = os.path.join(td, "disco_rand_converted.pkl")
+            # converter runs in a subprocess so reference sys.path hacking
+            # cannot leak into this interpreter
+            code = (
+                "import sys; sys.path.insert(0, {repo!r}); "
+                "from tools.make_eval_artifact import make_converted_random_reference_weights as f; "
+                "f({ckpt!r}, {k})"
+            ).format(repo=REPO, ckpt=ckpt, k=args.n_clusters)
+            subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO)
 
         infer_cmd = [
             sys.executable, "-m", "disentangledcolorization_tpu.cli.infer",
@@ -138,6 +150,12 @@ def main(argv=None):
         ]
         subprocess.run(infer_cmd, check=True, cwd=REPO)
         pred_dir = os.path.join(td, f"eval-anchor{args.n_clusters}")
+        if args.save_images:
+            import shutil
+
+            os.makedirs(args.save_images, exist_ok=True)
+            for f in sorted(os.listdir(pred_dir)):
+                shutil.copy(os.path.join(pred_dir, f), os.path.join(args.save_images, f))
 
         eval_out = subprocess.run(
             [
@@ -152,9 +170,8 @@ def main(argv=None):
         # (bench.py's headline config) and score its outputs AGAINST the f32
         # outputs — the per-round record of what quantization costs.
         int8_dir = os.path.join(td, "int8")
-        int8_cmd = [
-            a if a != td else int8_dir for a in infer_cmd
-        ] + ["--quantize", "int8"]
+        int8_cmd = list(infer_cmd) + ["--quantize", "int8"]
+        int8_cmd[int8_cmd.index("--save_dir") + 1] = int8_dir
         subprocess.run(int8_cmd, check=True, cwd=REPO)
         int8_pred = os.path.join(int8_dir, f"eval-anchor{args.n_clusters}")
         drift_out = subprocess.run(
@@ -166,13 +183,29 @@ def main(argv=None):
         )
         int8_drift = json.loads(drift_out.stdout.strip().splitlines()[-1])
 
+    drift = dict(int8_drift)
+    # colorfulness is an absolute statistic, not a similarity score — record
+    # the int8-vs-f32 *delta* so the drift block only contains drift measures
+    if "colorfulness" in drift and "colorfulness" in metrics:
+        drift["colorfulness_delta"] = round(drift.pop("colorfulness") - metrics["colorfulness"], 4)
+
     artifact = {
         "round": args.round,
-        "pipeline": "random-reference-weights -> convert_torch -> cli.infer -> cli.evaluate",
+        "pipeline": (
+            ("trained-checkpoint" if args.checkpt else "random-reference-weights -> convert_torch")
+            + " -> cli.infer -> cli.evaluate"
+        ),
         "images": sorted(os.listdir(args.data)),
-        "weights": "reference AnchorColorProb random init (torch.manual_seed(0)), converted",
+        "weights": (
+            f"trained: {args.checkpt}" if args.checkpt
+            else "reference AnchorColorProb random init (torch.manual_seed(0)), converted"
+        ),
         "note": (
-            "pipeline-proof artifact: random weights, so FID/PSNR are not "
+            "metrics from a trained checkpoint (PSNR/SSIM/colorfulness vs GT "
+            "are real quality movements; FID on 4 images is directionally "
+            "indicative only)"
+            if args.checkpt
+            else "pipeline-proof artifact: random weights, so FID/PSNR are not "
             "quality claims; identical commands with a real checkpoint "
             "produce the reportable number (target FID 10.47, BASELINE.md)"
         ),
@@ -181,7 +214,7 @@ def main(argv=None):
             "note": "production PTQ outputs scored against the f32 outputs "
                     "(same seed/weights); PSNR/SSIM here measure quantization "
                     "cost only",
-            **{k: v for k, v in int8_drift.items() if k != "fid"},
+            **drift,
         },
         "wall_seconds": round(time.time() - t0, 1),
     }

@@ -1,0 +1,284 @@
+"""One-command weights-drop runbook: .pth.tar -> convert -> pixel parity vs the
+torch reference forward -> quality eval, emitting PARITY_WEIGHTS.json.
+
+The moment a real published DISCO checkpoint (disco-beta / DISCO-c0.2 /
+DISCO-rand, reference checkpoints/disco_download.sh + README.md:57-61) lands
+on this machine, this is the single command that turns it into a verified,
+reportable artifact:
+
+    python tools/parity_drop.py --pth checkpoints/disco-beta.pth.tar
+
+Chain:
+  1. load the torch state_dict and run the *reference* model forward (CPU
+     torch, pinned anchor mask) on the bundled images -> golden outputs,
+  2. tools/convert_torch.py -> native flax variables pickle,
+  3. our AnchorColorProb forward with the same pinned mask -> pixel-wise
+     max/mean |diff| vs the golden outputs (pass thresholds recorded),
+  4. tools/make_eval_artifact.py --checkpt <converted> -> PSNR/SSIM/
+     colorfulness/FID + int8 drift on the real weights.
+
+Every step except the download itself is exercised by tests/test_parity_drop.py
+with a random-weight stand-in .pth.tar, so the runbook is known-good before
+any drop arrives. Steps 1 and 2 run the reference in a subprocess so its
+sys.path hacking cannot leak here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+REF = "/root/reference"
+
+# pinned anchor grid: k-means anchor *locations* are RNG-backend-dependent
+# (SURVEY §7), so parity is measured under identical anchor decisions — the
+# same mechanism as tests/test_convert.py
+_PIN = ((1, 1), (2, 3), (3, 0), (0, 2))
+
+
+def _reference_forward(pth: str, npz_out: str, data_dir: str, size: int, n_clusters: int):
+    """Subprocess body: torch reference forward with the dropped weights."""
+    import numpy as np
+    import torch
+
+    sys.path.insert(0, REPO)
+    torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
+    torch.nn.Module.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
+    import types
+
+    def _stub(name, **attrs):
+        if name in sys.modules:
+            return
+        try:
+            __import__(name)
+        except ImportError:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+            if "." in name:
+                parent = name.rsplit(".", 1)[0]
+                _stub(parent)
+                setattr(sys.modules[parent], name.rsplit(".", 1)[1], mod)
+
+    _stub("skimage.segmentation", mark_boundaries=lambda *a, **k: None)
+    _stub("matplotlib.pyplot")
+    _stub("tqdm", tqdm=lambda *a, **k: None)
+    _stub("torchvision")
+    _stub("torchvision.models")
+    for p in (REF, os.path.join(REF, "models"), os.path.join(REF, "utils")):
+        sys.path.insert(0, p)
+    import importlib
+
+    ref_cielab = importlib.import_module("utils.cielab")
+    ref_cielab.ABGamut.RESOURCE_POINTS = os.path.join(REF, "utils", "gamut_pts.npy")
+    ref_cielab.ABGamut.RESOURCE_PRIOR = os.path.join(REF, "utils", "gamut_probs.npy")
+    basic = importlib.import_module("basic")
+    _orig = basic.ColorLabel.__init__
+    basic.ColorLabel.__init__ = lambda self, lambda_=0.5, device="cpu": _orig(
+        self, lambda_=lambda_, device="cpu"
+    )
+    model_mod = importlib.import_module("model")
+
+    m = model_mod.AnchorColorProb(
+        inChannel=1, outChannel=313, sp_size=16, d_model=64, use_dense_pos=True,
+        n_clusters=n_clusters, random_hint=False, hint2regress=False,
+        enhanced=True, rank=0,
+    )
+    ckpt = torch.load(pth, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    missing, unexpected = m.load_state_dict(sd, strict=False)
+    m.eval()
+
+    from disentangledcolorization_tpu.utils import io as io_lib
+
+    files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.lower().endswith((".jpg", ".png"))
+    )
+    items = [io_lib.load_image_lab_resized(f, size) for f in files]
+    grays = np.stack([it["gray"] for it in items]).transpose(0, 3, 1, 2)
+    colors = np.stack([it["color"] for it in items]).transpose(0, 3, 1, 2)
+
+    n, _, h, w = grays.shape
+    hc, wc = h // 16, w // 16
+    fixed_mask = np.zeros((n, 1, hc, wc), np.float32)
+    for (y, x) in _PIN:
+        fixed_mask[:, :, y % hc, x % wc] = 1.0
+
+    class PinnedAnchorGen:
+        def __init__(self, orig):
+            self._sample_anchor_colors = orig._sample_anchor_colors
+
+        def __call__(self, data_tensors, n_anchors, spixel_sizes, use_sklearn_kmeans=False):
+            return torch.from_numpy(fixed_mask), torch.zeros(n, n_clusters, hc, wc)
+
+    m.anchorGen = PinnedAnchorGen(m.anchorGen)
+    with torch.no_grad():
+        pal, ref_logit, pred_colors, affinity, _, _ = m(
+            torch.from_numpy(grays), torch.from_numpy(colors), True, 0
+        )
+    np.savez(
+        npz_out,
+        grays=grays, colors=colors, fixed_mask=fixed_mask,
+        pal=pal.numpy(), ref_logit=ref_logit.numpy(),
+        pred_colors=pred_colors.numpy(), affinity=affinity.numpy(),
+    )
+    with open(npz_out + ".keys.json", "w") as f:
+        json.dump({"missing": list(missing), "unexpected": list(unexpected)}, f)
+
+
+def make_standin_pth(out_pth: str, n_clusters: int = 4) -> None:
+    """Random reference checkpoint saved in the published .pth.tar layout —
+    the stand-in that lets tests/test_parity_drop.py exercise every runbook
+    step except the download itself."""
+    import torch
+
+    sys.path.insert(0, REPO)
+    from tools.make_eval_artifact import make_converted_random_reference_weights  # noqa: F401
+
+    # reuse the eval-artifact path shims by building the model the same way
+    import tools.make_eval_artifact as mea
+
+    tmp_pkl = out_pth + ".tmp.pkl"
+    # make_converted_... builds + SN-converges the reference model, but only
+    # emits converted variables; rebuild here to capture the raw state_dict
+    mea.make_converted_random_reference_weights(tmp_pkl, n_clusters=n_clusters)
+    os.remove(tmp_pkl)
+    model_mod = sys.modules["model"]
+    torch.manual_seed(0)
+    m = model_mod.AnchorColorProb(
+        inChannel=1, outChannel=313, sp_size=16, d_model=64, use_dense_pos=True,
+        n_clusters=n_clusters, random_hint=False, hint2regress=False,
+        enhanced=True, rank=0,
+    )
+    m.train()
+    with torch.no_grad():
+        g32 = torch.randn(1, 1, 32, 32)
+        f64 = torch.randn(1, 64, 32, 32)
+        for _ in range(30):
+            m.repnet(g32)
+            m.enhanceNet(torch.cat([g32, f64], 1))
+    m.eval()
+    torch.save({"epoch": 0, "state_dict": m.state_dict(), "best_loss": 0.0}, out_pth)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pth", required=True, help="dropped torch checkpoint (.pth/.pth.tar)")
+    ap.add_argument("--data", default=os.path.join(REF, "data"))
+    ap.add_argument("--size", type=int, default=256, help="parity-forward resolution")
+    ap.add_argument("--n_clusters", type=int, default=8)
+    ap.add_argument("--out", default=os.path.join(REPO, "PARITY_WEIGHTS.json"))
+    ap.add_argument("--converted_out", default="", help="keep the converted pickle here")
+    ap.add_argument("--skip_eval", action="store_true", help="skip the make_eval_artifact leg")
+    args = ap.parse_args(argv)
+    t0 = time.time()
+
+    with tempfile.TemporaryDirectory() as td:
+        # 1. golden reference forward (subprocess: path isolation)
+        npz = os.path.join(td, "golden.npz")
+        code = (
+            "import sys; sys.path.insert(0, {repo!r}); "
+            "from tools.parity_drop import _reference_forward as f; "
+            "f({pth!r}, {npz!r}, {data!r}, {size}, {k})"
+        ).format(repo=REPO, pth=args.pth, npz=npz, data=args.data, size=args.size, k=args.n_clusters)
+        subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO)
+
+        # 2. convert
+        pkl = args.converted_out or os.path.join(td, "converted.pkl")
+        subprocess.run(
+            [sys.executable, "-m", "disentangledcolorization_tpu.tools.convert_torch",
+             args.pth, pkl],
+            check=True, cwd=REPO,
+        )
+
+        # 3. our forward under the same pinned mask (CPU for exact comparability)
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        import numpy as np
+
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        import pickle
+
+        import jax.numpy as jnp
+
+        from disentangledcolorization_tpu.models import AnchorColorProb
+
+        g = np.load(npz, allow_pickle=True)
+        with open(pkl, "rb") as f:
+            variables = pickle.load(f)
+        ours = AnchorColorProb(
+            sp_size=16, n_clusters=args.n_clusters, enhanced=True, sn_folded=True
+        )
+        out = ours.apply(
+            variables,
+            jnp.asarray(g["grays"].transpose(0, 2, 3, 1)),
+            jnp.asarray(g["colors"].transpose(0, 2, 3, 1)),
+            True, 0, False,
+            hint_mask_override=jnp.asarray(g["fixed_mask"].transpose(0, 2, 3, 1)),
+            rngs={"anchor": jax.random.key(0)},
+        )
+
+        def diffstat(ref, mine_nhwc):
+            d = np.abs(np.asarray(mine_nhwc).transpose(0, 3, 1, 2) - ref)
+            return {"max_abs": float(d.max()), "mean_abs": float(d.mean())}
+
+        parity = {
+            "affinity": diffstat(g["affinity"], out["affinity_map"]),
+            "pal_logit": diffstat(g["pal"], out["pal_logit"]),
+            "ref_logit": diffstat(g["ref_logit"], out["ref_logit"]),
+            "pred_colors": diffstat(g["pred_colors"], out["pred_colors"]),
+        }
+        # thresholds from tests/test_convert.py (proven at random weights);
+        # pred_colors is the product output, in normalized ab (1.0 = 110 ab)
+        thresholds = {"affinity": 2e-4, "pal_logit": 5e-3, "ref_logit": 5e-3, "pred_colors": 5e-3}
+        parity_ok = all(parity[k]["max_abs"] <= thresholds[k] for k in thresholds)
+        with open(npz + ".keys.json") as f:
+            keyinfo = json.load(f)
+        missing, unexpected = keyinfo["missing"], keyinfo["unexpected"]
+
+        # 4. quality eval with the converted weights
+        eval_metrics = None
+        if not args.skip_eval:
+            eval_json = os.path.join(td, "eval.json")
+            subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "make_eval_artifact.py"),
+                 "--checkpt", pkl, "--out", eval_json, "--data", args.data,
+                 "--n_clusters", str(args.n_clusters)],
+                check=True, cwd=REPO,
+            )
+            with open(eval_json) as f:
+                eval_metrics = json.load(f)
+
+    artifact = {
+        "pth": args.pth,
+        "converted": args.converted_out or "(temporary)",
+        "state_dict_missing_keys": [str(k) for k in missing],
+        "state_dict_unexpected_keys": [str(k) for k in unexpected],
+        "pixel_parity_vs_torch_reference": parity,
+        "parity_thresholds": thresholds,
+        "parity_ok": bool(parity_ok),
+        "quality_eval": eval_metrics,
+        "wall_seconds": round(time.time() - t0, 1),
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=2)
+        f.write("\n")
+    print(json.dumps({"parity_ok": parity_ok, **{k: v["max_abs"] for k, v in parity.items()}}))
+    return 0 if parity_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
