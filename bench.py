@@ -100,14 +100,39 @@ def main():
 
     # DISCO_INT8=static: one calibration forward (f32 convs, records per-conv
     # activation ranges into the 'quant' collection), then the timed chains
-    # trace with the calibrated static scales (ops/quant.py)
+    # trace with the calibrated static scales (ops/quant.py).
+    #
+    # Calibration input: REAL images (the 4 bundled reference photos, tiled to
+    # the batch), matching cli.infer's first-real-batch calibration — measured
+    # on trained weights, noise-calibrated scales clip on 22/51 convs
+    # (real/noise amax ratio mean 1.6, max 4.4; tools/calib_compare.py,
+    # docs/evidence_r03/calib_noise_vs_real.jsonl). Scales are compile-time
+    # constants, so this changes nothing about throughput — it makes the
+    # benched config the production one. Falls back to the synthetic batch if
+    # the reference data dir is absent.
     if os.environ.get("DISCO_INT8") == "static":
+        calib_g = grays
+        ref_data = "/root/reference/data"
+        if os.path.isdir(ref_data):
+            from disentangledcolorization_tpu.utils import io as io_lib
+
+            files = sorted(
+                os.path.join(ref_data, f)
+                for f in os.listdir(ref_data)
+                if f.lower().endswith((".jpg", ".png"))
+            )
+            if files:
+                real = np.stack(
+                    [io_lib.load_image_lab_resized(f, H)["gray"] for f in files]
+                )
+                reps = -(-BATCH // len(files))
+                calib_g = jnp.asarray(np.tile(real, (reps, 1, 1, 1))[:BATCH])
         os.environ["DISCO_INT8"] = "calib"
         _, mut = jax.jit(
             lambda v, g, c, k: model.apply(
                 v, g, c, True, 0, False, rngs={"anchor": k}, mutable=["quant"]
             )
-        )(variables, grays, colors, jax.random.key(9))
+        )(variables, calib_g, colors, jax.random.key(9))
         variables = {**variables, **jax.block_until_ready(mut)}
         os.environ["DISCO_INT8"] = "static"
 
