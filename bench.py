@@ -28,9 +28,10 @@ DISCO_INT8=static is the default — set DISCO_INT8=0 for the pure-bf16 path).
 Measured v5e: static int8 499.2 img/s at batch 56 vs bf16 381.8 (+31%);
 dynamic per-call scales REFUTED at 370.0 (the per-conv max-reduce costs more
 than the MXU saves). int8's halved activation footprint moves the batch knee
-from 56 to 128: 671.1 img/s (2026-08-18 sweep, see BATCH below). Output cost:
-mean 0.3 / worst-pixel ~7 ab units vs f32 on the bundled images with random
-weights (tools/int8_quality.py).
+from 56 to 128: 671.1 img/s (2026-08-18 sweep, see BATCH below); 701.3 after
+the round-3 reduce-window spixel-sizes rewrite (ops/superpixel.py). Output
+cost on TRAINED weights: 39.5 dB PSNR / 0.9885 SSIM vs the f32 outputs
+(EVAL_r03.json int8_drift_vs_f32).
 """
 
 from __future__ import annotations

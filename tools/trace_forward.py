@@ -27,7 +27,7 @@ import numpy as np
 H = W = 256
 
 
-def capture(batch: int, outdir: str, iters: int = 4) -> None:
+def capture(batch: int, outdir: str, iters: int = 4, int8: bool = False) -> None:
     from disentangledcolorization_tpu.models import AnchorColorProb
 
     model = AnchorColorProb(
@@ -46,6 +46,19 @@ def capture(batch: int, outdir: str, iters: int = 4) -> None:
         False,
     )
     jax.block_until_ready(variables)
+
+    if int8:
+        # bench.py's production PTQ setup: one f32 calibration forward records
+        # per-conv activation amax into the 'quant' collection, then the traced
+        # forwards run with static int8 scales (ops/quant.py)
+        os.environ["DISCO_INT8"] = "calib"
+        _, mut = jax.jit(
+            lambda v, g, c, k: model.apply(
+                v, g, c, True, 0, False, rngs={"anchor": k}, mutable=["quant"]
+            )
+        )(variables, grays, colors, jax.random.key(9))
+        variables = {**variables, **jax.block_until_ready(mut)}
+        os.environ["DISCO_INT8"] = "static"
 
     @jax.jit
     def fwd(g, key):
@@ -111,9 +124,10 @@ def main():
     ap.add_argument("--outdir", type=str, default="/tmp/disco_trace")
     ap.add_argument("--summarize_only", action="store_true")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--int8", action="store_true", help="trace the production int8 PTQ config")
     args = ap.parse_args()
     if not args.summarize_only:
-        capture(args.batch, args.outdir)
+        capture(args.batch, args.outdir, int8=args.int8)
     summarize(args.outdir, args.top)
 
 
