@@ -39,15 +39,27 @@ class Colorizer:
         bucket: int = 16,
         data_parallel: bool = False,
         quantize: str = "none",
+        wire_dtype: str = "float32",
     ):
         """``quantize='int8'``: post-training-quantize the wide convs, with
         activation scales calibrated on the first image/batch processed
-        (ops/quant.py; measured +31% serving throughput on v5e)."""
+        (ops/quant.py; measured +31% serving throughput on v5e).
+
+        ``wire_dtype='uint8'``: quantize the predicted ab channels to uint8 ON
+        DEVICE and dequantize on host, quartering the device->host transfer
+        (the serving default, serve.py). Precision cost is half a uint8 Lab
+        step (<=0.43 ab units) — the same quantization the reference's own
+        cv2 8-bit Lab I/O applies (utils/dataset_lab.py:29), invisible in the
+        8-bit RGB output. float32 (default here) keeps the exact device
+        values for the library API."""
         from .cli.infer import load_variables
 
         if quantize not in ("none", "int8"):
             raise ValueError(f"quantize={quantize!r}")
+        if wire_dtype not in ("float32", "uint8"):
+            raise ValueError(f"wire_dtype={wire_dtype!r}")
         self._quantize = quantize
+        self._wire_uint8 = wire_dtype == "uint8"
         self._calibrated = False
         if quantize == "int8":
             os.environ["DISCO_INT8"] = "0"  # off until calibrated
@@ -85,26 +97,38 @@ class Colorizer:
         )
         self.variables, self.loaded = load_variables(checkpoint, self.model, example, seed)
 
-    def _maybe_calibrate(self, grays, colors, key):
+    def _maybe_calibrate(self, grays, key):
         """One f32 calibration forward on the first inputs (quantize='int8'):
         records per-conv activation ranges into the 'quant' collection, then
         flips the trace-time gate to static so later jits run int8."""
         if self._quantize != "int8" or self._calibrated:
             return
         os.environ["DISCO_INT8"] = "calib"
-        _, mut = jax.jit(
-            lambda v, g, c, k: self.model.apply(
+
+        def calib_fn(v, g, k):
+            if g.dtype == jnp.uint8:
+                g = g.astype(jnp.float32) / 127.5 - 1.0
+            c = jnp.zeros(g.shape[:3] + (2,), jnp.float32)
+            return self.model.apply(
                 v, g, c, True, 0, False, rngs={"anchor": k}, mutable=["quant"]
             )
-        )(self.variables, grays, colors, key)
+
+        _, mut = jax.jit(calib_fn)(self.variables, grays, key)
         self.variables = {**self.variables, **jax.block_until_ready(mut)}
         os.environ["DISCO_INT8"] = "static"
         self._calibrated = True
 
     @functools.lru_cache(maxsize=16)
     def _forward(self, sampled_T: int, with_hints: bool):
-        def fn(variables, grays, colors, key, hint_mask, hint_colors):
-            return self.model.apply(
+        wire_uint8 = self._wire_uint8
+
+        def fn(variables, grays, key, hint_mask, hint_colors):
+            if grays.dtype == jnp.uint8:  # inverse of the input wire codec
+                grays = grays.astype(jnp.float32) / 127.5 - 1.0
+            # the GT-color input is all zeros at inference — synthesized
+            # in-graph so no (N, H, W, 2) zeros tensor crosses host->device
+            colors = jnp.zeros(grays.shape[:3] + (2,), jnp.float32)
+            pred = self.model.apply(
                 variables,
                 grays,
                 colors,
@@ -115,8 +139,28 @@ class Colorizer:
                 anchor_colors_override=hint_colors if with_hints else None,
                 rngs={"anchor": key},
             )["pred_colors"]
+            if wire_uint8:
+                # device-side wire quantization: ab in [-1, 1] -> uint8
+                pred = jnp.clip(
+                    jnp.round((pred.astype(jnp.float32) + 1.0) * 127.5), 0, 255
+                ).astype(jnp.uint8)
+            return pred
 
         return jax.jit(fn)
+
+    def _wire_in(self, grays: np.ndarray) -> jnp.ndarray:
+        """Host->device gray transfer, optionally uint8-coded (quarter bytes;
+        precision = one 8-bit Lab step, the reference's own input precision —
+        utils/dataset_lab.py:29 reads L through cv2 uint8 Lab)."""
+        if self._wire_uint8:
+            grays = np.clip(np.round((grays + 1.0) * 127.5), 0, 255).astype(np.uint8)
+        return jnp.asarray(grays)
+
+    def _unwire(self, pred: np.ndarray) -> np.ndarray:
+        """Host-side inverse of the output wire quantization (no-op for f32)."""
+        if pred.dtype == np.uint8:
+            return pred.astype(np.float32) / 127.5 - 1.0
+        return np.asarray(pred, np.float32)
 
     def _prep(self, image: np.ndarray):
         """uint8/float RGB or grayscale -> normalized L (1,H',W',1) + pad info."""
@@ -144,7 +188,6 @@ class Colorizer:
         """Colorize one image. Returns (H, W, 3) uint8 RGB, or a list of 3 in
         diverse mode. ``hints`` is (mask (h, w), ab (h, w, 2)) on the token grid."""
         grays, (h, w) = self._prep(image)
-        colors = np.zeros(grays.shape[:3] + (2,), np.float32)
         if key is None:
             self._key, key = jax.random.split(self._key)
         sampled_T = 2 if diverse else 0
@@ -153,11 +196,11 @@ class Colorizer:
             m, ab = hints
             hint_mask = jnp.asarray(np.asarray(m, np.float32)[None, ..., None])
             hint_colors = jnp.asarray(np.asarray(ab, np.float32)[None])
-        self._maybe_calibrate(jnp.asarray(grays), jnp.asarray(colors), key)
+        grays_d = self._wire_in(grays)
+        self._maybe_calibrate(grays_d, key)
         fwd = self._forward(sampled_T, hints is not None)
-        pred = np.asarray(
-            fwd(self.variables, jnp.asarray(grays), jnp.asarray(colors), key, hint_mask, hint_colors),
-            np.float32,
+        pred = self._unwire(
+            np.asarray(fwd(self.variables, grays_d, key, hint_mask, hint_colors))
         )
 
         def to_rgb(ab):
@@ -199,19 +242,14 @@ class Colorizer:
         if nb > len(preps):
             pad = np.broadcast_to(grays[-1:], (nb - len(preps),) + grays.shape[1:])
             grays = np.concatenate([grays, pad], axis=0)
-        colors = np.zeros(grays.shape[:3] + (2,), np.float32)
         if key is None:
             self._key, key = jax.random.split(self._key)
-        grays_d, colors_d = jnp.asarray(grays), jnp.asarray(colors)
-        self._maybe_calibrate(grays_d, colors_d, key)
+        grays_d = self._wire_in(grays)
+        self._maybe_calibrate(grays_d, key)
         fwd = self._forward(0, False)
         if self._data_sharding is not None:
             grays_d = jax.device_put(grays_d, self._data_sharding)
-            colors_d = jax.device_put(colors_d, self._data_sharding)
-        pred = np.asarray(
-            fwd(self.variables, grays_d, colors_d, key, None, None),
-            np.float32,
-        )
+        pred = self._unwire(np.asarray(fwd(self.variables, grays_d, key, None, None)))
         out = []  # padding entries (i >= len(preps)) are dropped here
         for i, (_, (h, w)) in enumerate(preps):
             lab = np.concatenate([grays[i], pred[i]], axis=-1)

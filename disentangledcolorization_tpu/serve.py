@@ -272,11 +272,18 @@ def main(argv=None):
         "--data_parallel", action="store_true",
         help="shard request batches over all local devices (v5e-8 serving)",
     )
+    ap.add_argument(
+        "--wire", default="uint8", choices=["uint8", "float32"],
+        help="device->host transfer format for the predicted ab channels; "
+        "uint8 (default) quarters the transfer at <=0.43 ab-unit cost — the "
+        "same quantization cv2's 8-bit Lab I/O applies",
+    )
     args = ap.parse_args(argv)
     colorizer = Colorizer(
         checkpoint=args.checkpt,
         n_clusters=args.n_clusters,
         data_parallel=args.data_parallel,
+        wire_dtype=args.wire,
     )
     if args.warmup:
         buckets = [int(b) for b in args.warmup.split(",")]

@@ -260,3 +260,18 @@ def test_colorize_batch_real_model():
     assert len(outs_dp) == 3
     for a, b in zip(outs, outs_dp):
         assert np.mean(np.abs(a.astype(int) - b.astype(int))) < 1.0
+
+    # uint8 wire format (serving default): gray crosses host->device and ab
+    # crosses device->host as uint8 — final RGB must match the float32 path
+    # within the two uint8 Lab codec steps (a few 8-bit RGB levels worst-case,
+    # sub-level mean)
+    cw = Colorizer(n_clusters=2, bucket=16, wire_dtype="uint8")
+    outs_w = cw.colorize_batch(imgs, key=key)
+    assert len(outs_w) == 3
+    for a, b in zip(outs, outs_w):
+        assert b.dtype == np.uint8
+        assert np.max(np.abs(a.astype(int) - b.astype(int))) <= 6
+        assert np.mean(np.abs(a.astype(int) - b.astype(int))) < 0.6
+    # single-image + diverse paths share the wire codec
+    one = cw.colorize(imgs[0], key=key)
+    assert one.shape == imgs[0].shape and one.dtype == np.uint8

@@ -32,12 +32,14 @@ def main():
     ap.add_argument("--max_wait_ms", type=float, default=2.0)
     ap.add_argument("--checkpt", default="")
     ap.add_argument("--n_clusters", type=int, default=8)
+    ap.add_argument("--wire", default="uint8", choices=["uint8", "float32"],
+                    help="device->host ab transfer format (serving default uint8)")
     args = ap.parse_args()
 
     from disentangledcolorization_tpu.api import Colorizer
     from disentangledcolorization_tpu.serve import DynamicBatcher
 
-    col = Colorizer(checkpoint=args.checkpt, n_clusters=args.n_clusters)
+    col = Colorizer(checkpoint=args.checkpt, n_clusters=args.n_clusters, wire_dtype=args.wire)
     warm = sorted({b for b in Colorizer.BATCH_BUCKETS if b <= args.max_batch})
     print(f"warming buckets {warm} at {args.size}x{args.size} ...", flush=True)
     col.warmup(size=args.size, buckets=warm)
