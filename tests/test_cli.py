@@ -154,6 +154,17 @@ def test_colorizer_api(tiny_imgs):
     ab[1, 1] = (0.4, -0.3)
     out3 = c.colorize(img, hints=(mask, ab))
     assert out3.shape == img.shape
+    # hint colors must STEER the output: same key, different anchor ab ->
+    # different colorization (the override feeds the hintpath one-hot,
+    # disco.py anchor_colors_override)
+    import jax
+
+    k = jax.random.key(7)
+    ab2 = np.zeros_like(ab)
+    ab2[1, 1] = (-0.5, 0.45)
+    s1 = c.colorize(img, hints=(mask, ab), key=k).astype(int)
+    s2 = c.colorize(img, hints=(mask, ab2), key=k).astype(int)
+    assert np.abs(s1 - s2).mean() > 0.5, "hint colors did not steer the output"
 
 
 def test_colorizer_api_quantize(tiny_imgs):
