@@ -113,7 +113,8 @@ def main():
     # the reference data dir is absent.
     if os.environ.get("DISCO_INT8") == "static":
         calib_g = grays
-        ref_data = "/root/reference/data"
+        ref_data = os.environ.get("DISCO_REF_DATA", "/root/reference/data")
+        files = []
         if os.path.isdir(ref_data):
             from disentangledcolorization_tpu.utils import io as io_lib
 
@@ -128,6 +129,14 @@ def main():
                 )
                 reps = -(-BATCH // len(files))
                 calib_g = jnp.asarray(np.tile(real, (reps, 1, 1, 1))[:BATCH])
+        if not files:
+            print(
+                f"# WARNING: calibration image dir {ref_data!r} absent/empty — "
+                "int8 scales calibrated on SYNTHETIC noise, NOT the production "
+                "config (real-image ranges exceed noise ranges on 22/51 convs; "
+                "set DISCO_REF_DATA to a directory of real images)",
+                file=sys.stderr,
+            )
         os.environ["DISCO_INT8"] = "calib"
         _, mut = jax.jit(
             lambda v, g, c, k: model.apply(

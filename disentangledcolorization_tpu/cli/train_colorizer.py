@@ -32,7 +32,7 @@ from ..train.losses import AnchorColorProbLoss
 from ..train.state import TrainState, segnet_frozen_mask
 from ..utils import io as io_lib
 from ..utils.config import pcolor_argparser
-from ..utils.logging import MetricsWriter, StepTimer, build_logger
+from ..utils.logging import MetricsWriter, StepTimer, build_logger, steptime_stats
 from ..utils.signals import GracefulShutdown
 
 
@@ -163,6 +163,7 @@ def main(argv=None):
     eval_step = steps.make_colorizer_eval_step(eval_model, loss_bundle, class_lambda=class_lambda)
 
     base_key = jax.random.key(args.seed)
+    run_steptimes: list[float] = []  # per-step seconds across the whole run
     with jax.set_mesh(mesh), GracefulShutdown() as shutdown:
         for epoch in range(start_epoch, args.epochs):
             train_loader.set_epoch(epoch)
@@ -189,6 +190,7 @@ def main(argv=None):
                         f"rec {float(metrics['recLoss']):.4f} "
                         f"(io/proc {s['io_proc_ratio']:.2f}, {s['images_per_sec']:.1f} img/s)"
                     )
+            run_steptimes.extend(timer.durations)
             ep_total = sums.get("totalLoss", 0.0) / max(n_steps, 1)
             if not np.isfinite(ep_total):
                 # fail fast and DON'T overwrite 'last' with poisoned params
@@ -248,6 +250,17 @@ def main(argv=None):
                     best_loss = val_loss
                     mgr.save("best", host_state, epoch + 1, best_loss)
     if is_main:
+        # run-level step-time stability (soak evidence: p50/p99 + first-vs-
+        # last-quartile drift). run_steptimes[0] is the jit-compile step of a
+        # cold start — excluded so percentiles describe steady state.
+        stats = steptime_stats(run_steptimes[1:] if start_epoch == 0 else run_steptimes)
+        if stats:
+            logger.info(
+                "step-time stability: "
+                + " ".join(f"{k}={v:.1f}" if isinstance(v, float) else f"{k}={v}" for k, v in stats.items())
+            )
+            for k, v in stats.items():
+                writer_t.scalar(f"steptime/{k}", float(v), int(state.step))
         writer_t.flush()
         writer_v.flush()
         logger.info("done.")
@@ -264,7 +277,11 @@ def _dump_val_images(model, state, batch, run_dir, epoch, args, max_n: int = 4):
     one round trip per op, which would dominate the epoch time."""
     from ..ops import hints as hints_ops
 
-    if id(model) not in _dump_fwd_cache:
+    # Keyed on the model AND the closure-captured args that change the traced
+    # graph (a same-model call with different psize/hint2regress must not
+    # reuse a stale executable — advisor finding, round 3).
+    cache_key = (id(model), args.psize, args.hint2regress)
+    if cache_key not in _dump_fwd_cache:
 
         @jax.jit
         def fwd(variables, gray, color, akey):
@@ -279,9 +296,9 @@ def _dump_val_images(model, state, batch, run_dir, epoch, args, max_n: int = 4):
             marked = hints_ops.mark_color_hints(gray, ref_full, anchor_masks, base_abs=ref_full)
             return pal_full, ref_full, out["pred_colors"], marked
 
-        _dump_fwd_cache[id(model)] = fwd
+        _dump_fwd_cache[cache_key] = fwd
 
-    pal_full, ref_full, pred_colors, marked = _dump_fwd_cache[id(model)](
+    pal_full, ref_full, pred_colors, marked = _dump_fwd_cache[cache_key](
         state.variables(), batch["gray"][:max_n], batch["color"][:max_n], jax.random.key(epoch)
     )
     grays = np.asarray(batch["gray"][:max_n])

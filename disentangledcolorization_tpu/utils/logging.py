@@ -77,6 +77,7 @@ class StepTimer:
         self.data_time = 0.0
         self.step_time = 0.0
         self.images = 0
+        self.durations: list[float] = []  # per-step device+dispatch seconds
         self._t = time.perf_counter()
 
     def mark_data(self):
@@ -87,6 +88,7 @@ class StepTimer:
     def mark_step(self, n_images: int):
         now = time.perf_counter()
         self.step_time += now - self._t
+        self.durations.append(now - self._t)
         self._t = now
         self.images += n_images
 
@@ -99,6 +101,27 @@ class StepTimer:
 
     def reset(self):
         self.__init__()
+
+
+def steptime_stats(durations) -> dict:
+    """Run-level step-time distribution (ms): p50/p99 and first-vs-last
+    quartile drift, for long-run stability evidence (a soak must show the
+    step time does not degrade over thousands of steps). The caller should
+    exclude the compile step (the first duration of the run)."""
+    import numpy as _np
+
+    d = _np.asarray(durations, dtype=_np.float64) * 1e3
+    if d.size == 0:
+        return {}
+    q = max(d.size // 4, 1)
+    return {
+        "n_steps": int(d.size),
+        "p50_ms": float(_np.percentile(d, 50)),
+        "p90_ms": float(_np.percentile(d, 90)),
+        "p99_ms": float(_np.percentile(d, 99)),
+        "first_quartile_mean_ms": float(d[:q].mean()),
+        "last_quartile_mean_ms": float(d[-q:].mean()),
+    }
 
 
 @contextmanager

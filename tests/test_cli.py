@@ -154,17 +154,27 @@ def test_colorizer_api(tiny_imgs):
     ab[1, 1] = (0.4, -0.3)
     out3 = c.colorize(img, hints=(mask, ab))
     assert out3.shape == img.shape
-    # hint colors must STEER the output: same key, different anchor ab ->
+    # hint colors must REACH the hintpath: same key, different anchor ab ->
     # different colorization (the override feeds the hintpath one-hot,
-    # disco.py anchor_colors_override)
+    # disco.py anchor_colors_override). This is a MECHANISM test under
+    # random weights, so it pins the model seed and asserts only that the
+    # hint value changes the output — including inside the hinted 16x16
+    # block itself — with a threshold far below any plausible effect size
+    # (round-3 advisor: the old mean > 0.5 was flakiness-prone across
+    # platforms/BLAS). SEMANTIC steering (output moves TOWARD the hint
+    # color) is asserted on trained weights in the evidence chain
+    # (tools/make_capability_evidence.py::region_mean_ab).
     import jax
 
+    cs = Colorizer(n_clusters=2, bucket=16, seed=11)
     k = jax.random.key(7)
     ab2 = np.zeros_like(ab)
     ab2[1, 1] = (-0.5, 0.45)
-    s1 = c.colorize(img, hints=(mask, ab), key=k).astype(int)
-    s2 = c.colorize(img, hints=(mask, ab2), key=k).astype(int)
-    assert np.abs(s1 - s2).mean() > 0.5, "hint colors did not steer the output"
+    s1 = cs.colorize(img, hints=(mask, ab), key=k).astype(int)
+    s2 = cs.colorize(img, hints=(mask, ab2), key=k).astype(int)
+    diff = np.abs(s1 - s2)
+    assert diff.mean() > 0.02, "hint colors did not reach the hintpath"
+    assert diff[16:32, 16:32].max() > 0, "hinted block unaffected by its own hint"
 
 
 def test_colorizer_api_quantize(tiny_imgs):

@@ -13,6 +13,33 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_reference_subprocess_path_still_executes():
+    """Fast bit-rot guard (runs in every CI pass, no `slow` mark): the
+    runbook's reference-subprocess leg — sys.path stubbing, missing-dep
+    shims, CPU monkeypatches, reference model construction — must keep
+    executing against the CURRENT /root/reference checkout, so the runbook
+    is ready the moment a weights drop lands (VERDICT r3 Next #8)."""
+    pytest.importorskip("torch")
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference tree not available")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    code = (
+        "import sys; sys.path.insert(0, {repo!r}); "
+        "from tools.parity_drop import _import_reference_model as f; "
+        "m = f(4); "
+        "n = sum(p.numel() for p in m.parameters()); "
+        "assert n > 30_000_000, n; "  # the full 43M-param reference model
+        "print('ref model ok', n)"
+    ).format(repo=REPO)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "ref model ok" in proc.stdout
+
+
 @pytest.mark.slow
 def test_parity_drop_runbook(tmp_path):
     pytest.importorskip("torch")

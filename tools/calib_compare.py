@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REF_DATA = "/root/reference/data"
+REF_DATA = os.environ.get("DISCO_REF_DATA", "/root/reference/data")
 H = W = 256
 
 

@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import cv2
 import numpy as np
 
-REF_DATA = "/root/reference/data"
+REF_DATA = os.environ.get("DISCO_REF_DATA", "/root/reference/data")
 
 
 def main():
@@ -50,12 +50,23 @@ def main():
         print("wrote", name, rgb.shape)
 
     c = Colorizer(checkpoint=args.checkpt, n_clusters=8)
+    metrics = {}
 
     # 1. diverse: three distinct colorizations of the first image (256x256)
     img = cv2.cvtColor(cv2.imread(files[0]), cv2.COLOR_BGR2RGB)
     img256 = cv2.resize(img, (256, 256), interpolation=cv2.INTER_CUBIC)
-    for i, var in enumerate(c.colorize(img256, diverse=True, key=jax.random.key(1))):
+    variants = c.colorize(img256, diverse=True, key=jax.random.key(1))
+    for i, var in enumerate(variants):
         save(f"diverse_T{i}.png", var)
+    # quantify distinctness: pairwise mean |RGB| delta (8-bit levels) between
+    # the three temperature samplings — the reference's --diverse promise is
+    # three VISIBLY different results (inference.py:148-161)
+    metrics["diverse_pairwise_mean_rgb_delta"] = {
+        f"T{i}_vs_T{j}": float(
+            np.abs(variants[i].astype(np.int16) - variants[j].astype(np.int16)).mean()
+        )
+        for i, j in ((0, 1), (0, 2), (1, 2))
+    }
 
     # 2. no_resize: original resolution (api pads to the 16-bucket internally)
     img2 = cv2.cvtColor(cv2.imread(files[1]), cv2.COLOR_BGR2RGB)
@@ -73,9 +84,47 @@ def main():
         mask[y, x] = 1.0
         ab_a[y, x] = (0.25, -0.55)   # blue-ish
         ab_b[y, x] = (0.50, 0.35)    # warm red/orange
-    save("hints_palette_blue.png", c.colorize(img256, hints=(mask, ab_a), key=jax.random.key(3)))
-    save("hints_palette_warm.png", c.colorize(img256, hints=(mask, ab_b), key=jax.random.key(3)))
-    save("hints_none_baseline.png", c.colorize(img256, key=jax.random.key(3)))
+    hinted_a = c.colorize(img256, hints=(mask, ab_a), key=jax.random.key(3))
+    hinted_b = c.colorize(img256, hints=(mask, ab_b), key=jax.random.key(3))
+    baseline = c.colorize(img256, key=jax.random.key(3))
+    save("hints_palette_blue.png", hinted_a)
+    save("hints_palette_warm.png", hinted_b)
+    save("hints_none_baseline.png", baseline)
+
+    # Quantify SEMANTIC steering (VERDICT r3 Next #7): inside the hinted
+    # 16x16 anchor blocks, the output's mean ab must move TOWARD the hint
+    # color relative to the unhinted baseline — not merely differ anywhere.
+    def region_mean_ab(rgb):
+        lab = cv2.cvtColor(rgb.astype(np.float32) / 255.0, cv2.COLOR_RGB2LAB)
+        ab = lab[..., 1:] / 110.0  # normalized like the hint ab
+        return np.stack([
+            ab[y * 16 : (y + 1) * 16, x * 16 : (x + 1) * 16].reshape(-1, 2).mean(0)
+            for (y, x) in pins
+        ])
+
+    base_ab = region_mean_ab(baseline)
+    for name, hinted, hint_ab in (("blue", hinted_a, ab_a), ("warm", hinted_b, ab_b)):
+        got_ab = region_mean_ab(hinted)
+        target = np.stack([hint_ab[y, x] for (y, x) in pins])
+        d_base = np.linalg.norm(base_ab - target, axis=1)
+        d_hint = np.linalg.norm(got_ab - target, axis=1)
+        metrics[f"hint_steering_{name}"] = {
+            "mean_dist_to_hint_baseline": float(d_base.mean()),
+            "mean_dist_to_hint_hinted": float(d_hint.mean()),
+            "moved_toward_hint": bool(d_hint.mean() < d_base.mean()),
+            "mean_rgb_delta_vs_baseline": float(
+                np.abs(hinted.astype(np.int16) - baseline.astype(np.int16)).mean()
+            ),
+        }
+    metrics["hints_blue_vs_warm_mean_rgb_delta"] = float(
+        np.abs(hinted_a.astype(np.int16) - hinted_b.astype(np.int16)).mean()
+    )
+
+    import json
+
+    with open(os.path.join(args.out, "steering_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics, indent=2))
 
 
 if __name__ == "__main__":

@@ -165,6 +165,11 @@ def main(argv=None):
             check=True, cwd=REPO, capture_output=True, text=True,
         )
         metrics = json.loads(eval_out.stdout.strip().splitlines()[-1])
+        # A randproj-extractor FID over 4 images is a directional pipeline
+        # check, NOT the BASELINE InceptionV3 FID target (10.47-class) — name
+        # the key so the two can never be confused (round-3 verdict Weak #3).
+        if metrics.get("extractor", "").startswith("randproj") and "fid" in metrics:
+            metrics[f"randproj_fid_n{metrics.get('n', '')}"] = metrics.pop("fid")
 
         # int8 drift: re-run the same inference with the production PTQ path
         # (bench.py's headline config) and score its outputs AGAINST the f32

@@ -44,9 +44,13 @@ REF = "/root/reference"
 _PIN = ((1, 1), (2, 3), (3, 0), (0, 2))
 
 
-def _reference_forward(pth: str, npz_out: str, data_dir: str, size: int, n_clusters: int):
-    """Subprocess body: torch reference forward with the dropped weights."""
-    import numpy as np
+def _import_reference_model(n_clusters: int):
+    """Import the reference checkout (with its missing-dep stubs + CPU
+    monkeypatches) and construct its AnchorColorProb. Factored out of
+    _reference_forward so a fast CI test can assert this path still executes
+    against the current /root/reference tree — the runbook must never bit-rot
+    while waiting for a weights drop (it is the first command run when one
+    lands)."""
     import torch
 
     sys.path.insert(0, REPO)
@@ -88,11 +92,19 @@ def _reference_forward(pth: str, npz_out: str, data_dir: str, size: int, n_clust
     )
     model_mod = importlib.import_module("model")
 
-    m = model_mod.AnchorColorProb(
+    return model_mod.AnchorColorProb(
         inChannel=1, outChannel=313, sp_size=16, d_model=64, use_dense_pos=True,
         n_clusters=n_clusters, random_hint=False, hint2regress=False,
         enhanced=True, rank=0,
     )
+
+
+def _reference_forward(pth: str, npz_out: str, data_dir: str, size: int, n_clusters: int):
+    """Subprocess body: torch reference forward with the dropped weights."""
+    import numpy as np
+    import torch
+
+    m = _import_reference_model(n_clusters)
     ckpt = torch.load(pth, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt)
     sd = {k.removeprefix("module."): v for k, v in sd.items()}
