@@ -47,8 +47,12 @@ def main(argv=None):
     n_dev = len(mesh.devices.flatten())
     global_batch = args.batch_size * n_dev  # per-device batch scaling (train_spixel.py:44-45 analog)
 
-    train_ds = data_lib.build_dataset(args.dataset, args.data, "train", args.input_size)
-    val_ds = data_lib.build_dataset(args.dataset, args.data, "val", args.input_size)
+    train_ds = data_lib.build_dataset(
+        args.dataset, args.data, "train", args.input_size, cache=args.cache_data
+    )
+    val_ds = data_lib.build_dataset(
+        args.dataset, args.data, "val", args.input_size, cache=args.cache_data
+    )
     loader_kwargs = dict(
         batch_size=global_batch // jax.process_count(),
         num_workers=args.num_workers,

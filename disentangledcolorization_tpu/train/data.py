@@ -24,21 +24,46 @@ from ..utils import io as io_lib
 
 
 class LabDataset:
-    """Folder or filelist of images -> normalized Lab tensors (HWC numpy)."""
+    """Folder or filelist of images -> normalized Lab tensors (HWC numpy).
 
-    def __init__(self, rootdir: str | None = None, filelist: Sequence[str] | None = None, resize: int | None = None):
+    ``cache=True`` keeps each image's decoded+resized uint8 BGR in RAM after
+    its first access (the Lab conversion is recomputed per access — it is
+    ~13x cheaper than decode+resize, and uint8 BGR is 24x smaller than the
+    float item dict). TPU input pipelines on repeated small datasets are
+    host-decode-bound (the round-4 soak measured io/proc up to 1.5 on this
+    1-core host); the cache removes the decode from every epoch after the
+    first. Cost: 3 bytes/px/img (~190 MB per 1000 images at 256x256) — keep
+    it off for ImageNet-scale folders.
+    """
+
+    def __init__(
+        self,
+        rootdir: str | None = None,
+        filelist: Sequence[str] | None = None,
+        resize: int | None = None,
+        cache: bool = False,
+    ):
         if filelist is not None:
             self.files = list(filelist)
         else:
             assert rootdir and os.path.exists(rootdir), f"@dir:'{rootdir}' NOT exist ..."
             self.files = io_lib.get_filelist(rootdir)
         self.resize = resize
+        # plain dict writes are GIL-atomic; worst case under the thread pool
+        # is two workers decoding the same index once each
+        self._cache: dict[int, np.ndarray] | None = {} if cache else None
 
     def __len__(self):
         return len(self.files)
 
     def __getitem__(self, idx: int) -> dict:
-        return io_lib.load_image_lab_resized(self.files[idx], self.resize)
+        if self._cache is None:
+            return io_lib.load_image_lab_resized(self.files[idx], self.resize)
+        bgr = self._cache.get(idx)
+        if bgr is None:
+            bgr = io_lib.load_image_bgr_resized(self.files[idx], self.resize)
+            self._cache[idx] = bgr
+        return io_lib.bgr_to_lab_item(bgr)
 
 
 def load_imagenet_filelist(list_path: str, root_dir: str) -> list[str]:
@@ -58,6 +83,7 @@ def build_dataset(
     subset: str = "train",
     resize: int | None = 256,
     val_fraction: float = 0.1,
+    cache: bool = False,
 ) -> LabDataset:
     """Dataset selection mirroring build_dataloader (utils_train.py:48-127).
 
@@ -66,15 +92,15 @@ def build_dataset(
     data_root/<subset> (val subsampled to val_fraction as the reference does).
     """
     if name == "disco":
-        return LabDataset(rootdir=os.path.join(data_root, subset), resize=resize)
+        return LabDataset(rootdir=os.path.join(data_root, subset), resize=resize, cache=cache)
     if name == "coco":
-        return LabDataset(rootdir=os.path.join(data_root, subset + "2017"), resize=resize)
+        return LabDataset(rootdir=os.path.join(data_root, subset + "2017"), resize=resize, cache=cache)
     if name == "imagenet":
         list_path = os.path.join(data_root, f"{subset}_list.txt")
         files = load_imagenet_filelist(list_path, os.path.join(data_root, subset))
         if subset != "train" and val_fraction < 1.0:
             files = files[:: max(int(1 / val_fraction), 1)]
-        return LabDataset(filelist=files, resize=resize)
+        return LabDataset(filelist=files, resize=resize, cache=cache)
     raise ValueError(f"unknown dataset {name!r}")
 
 

@@ -37,6 +37,10 @@ def _add_common(parser: argparse.ArgumentParser):
     parser.add_argument("--checkpt", type=str, default="", help="checkpoint path")
     parser.add_argument("--input_size", "--input_dim", default=256, type=int)
     parser.add_argument("--num_workers", "--workers", default=4, type=int)
+    parser.add_argument("--cache_data", action="store_true", default=False,
+                        help="cache decoded+resized images in host RAM after "
+                             "the first epoch (3 bytes/px/img; for small "
+                             "datasets on decode-bound hosts — train/data.py)")
     parser.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     # distributed (jax.distributed replaces torch.distributed.launch)
     parser.add_argument("--coordinator", type=str, default=None)

@@ -51,23 +51,38 @@ def fetch_image_lab(img_path: str, no_resize: bool = True, scale: int = 16, resi
     return gray, ab, rgb * 2.0 - 1.0, (h, w)
 
 
-def load_image_lab_resized(img_path: str, resize: int | None = None):
-    """Dataset-style loader (cv2 BGR->LAB, INTER_CUBIC square resize;
-    reference utils/dataset_lab.py:24-37). Returns dict of float32 HWC arrays."""
+def load_image_bgr_resized(img_path: str, resize: int | None = None) -> np.ndarray:
+    """Decode + square-resize only (uint8 BGR). Split out so the dataset's
+    in-memory cache can hold the compact post-decode representation (3 bytes/
+    px) instead of the 24-bytes/px float Lab item — decode+resize is the
+    expensive part of the loader (~6.7 ms/img measured, tools/bench_data.py);
+    the Lab conversion below is ~0.5 ms and recomputed per access."""
     bgr = cv2.imread(img_path, cv2.IMREAD_COLOR)
     if bgr is None:
         raise FileNotFoundError(img_path)
     if resize:
         bgr = cv2.resize(bgr, (resize, resize), interpolation=cv2.INTER_CUBIC)
+    return bgr
+
+
+def bgr_to_lab_item(bgr_u8: np.ndarray) -> dict:
+    """uint8 BGR -> the normalized float32 training item
+    (reference utils/dataset_lab.py:24-37 semantics)."""
     # float32 divide directly (differs from the reference's float64-then-cast
     # by <=0.5 ulp; avoids a full-size float64 temporary on the hot loader path)
-    bgr = bgr.astype(np.float32) / np.float32(255.0)
+    bgr = bgr_u8.astype(np.float32) / np.float32(255.0)
     lab = cv2.cvtColor(bgr, cv2.COLOR_BGR2LAB)
     return {
         "gray": (lab[..., :1] - 50.0) / 50.0,
         "color": lab[..., 1:] / 110.0,
         "BGR": bgr * 2.0 - 1.0,
     }
+
+
+def load_image_lab_resized(img_path: str, resize: int | None = None):
+    """Dataset-style loader (cv2 BGR->LAB, INTER_CUBIC square resize;
+    reference utils/dataset_lab.py:24-37). Returns dict of float32 HWC arrays."""
+    return bgr_to_lab_item(load_image_bgr_resized(img_path, resize))
 
 
 def save_normLabs_from_batch(img_batch, save_dir, filename_list, batch_no=-1, suffix=None):

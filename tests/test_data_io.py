@@ -32,6 +32,27 @@ def test_lab_dataset_shapes_and_ranges(img_dir):
     assert np.abs(item["color"]).max() <= 1.01
 
 
+def test_lab_dataset_cache_bit_identical_and_decodes_once(img_dir, monkeypatch):
+    """cache=True serves bit-identical items and hits the decoder exactly
+    once per index (the point: repeated-epoch training on a decode-bound
+    host, --cache_data)."""
+    plain = data_lib.LabDataset(rootdir=img_dir, resize=32)
+    cached = data_lib.LabDataset(rootdir=img_dir, resize=32, cache=True)
+    expected = [plain[i] for i in range(len(plain))]  # before the counter patch
+
+    calls = []
+    real = io_lib.load_image_bgr_resized
+    monkeypatch.setattr(
+        io_lib, "load_image_bgr_resized", lambda p, r=None: (calls.append(p), real(p, r))[1]
+    )
+    for _ in range(3):  # three "epochs"
+        for i, a in enumerate(expected):
+            b = cached[i]
+            for k in a:
+                assert np.array_equal(a[k], b[k]), k
+    assert len(calls) == len(cached), "cache did not stop re-decoding"
+
+
 def test_dataloader_batching_and_sharding(img_dir):
     ds = data_lib.LabDataset(rootdir=img_dir, resize=32)
     dl = data_lib.DataLoader(ds, batch_size=2, shuffle=True, seed=1, num_workers=2)

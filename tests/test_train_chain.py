@@ -54,7 +54,7 @@ def test_native_two_stage_chain(chain_env):
     train_spixel.main([
         "--data", data, "--dataset", "disco", "--save_dir", runs, "--name", "spix",
         "--input_size", "32", "--batch_size", "2", "--epochs", "1",
-        "--num_workers", "0", "--seed", "1",
+        "--num_workers", "0", "--seed", "1", "--cache_data",
     ])
     spix_run = os.path.join(runs, "spix")
     spix_vars = load_train_variables(spix_run)
