@@ -71,3 +71,19 @@ def test_make_random_vgg_torchvision_layout(tmp_path):
     make_vgg(["--out", str(out2), "--seed", "0"])
     z2 = np.load(out2)
     assert np.array_equal(z["features.0.weight"], z2["features.0.weight"])
+
+
+def test_bench_no_resize_corpus(tmp_path, monkeypatch):
+    """The no_resize bench's corpus builder: synthesizes the 3 native shape
+    buckets when the reference data dir is absent (with a loud warning) and
+    writes repeats x 4 distinct files."""
+    import tools.bench_no_resize as bnr
+
+    monkeypatch.setattr(bnr, "REF_DATA", str(tmp_path / "nope"))
+    out = tmp_path / "corpus"
+    out.mkdir()
+    n = bnr.build_corpus(str(out), repeats=2)
+    files = sorted(out.iterdir())
+    assert n == 8 and len(files) == 8
+    shapes = {cv2.imread(str(f)).shape[:2] for f in files}
+    assert shapes == {(612, 612), (480, 640), (640, 480)}
