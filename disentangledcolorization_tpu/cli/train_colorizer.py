@@ -27,7 +27,7 @@ from ..ops import superpixel as sp
 from ..parallel import initialize_distributed, make_mesh, replicate, shard_batch
 from ..train import data as data_lib
 from ..train import optim, steps
-from ..train.checkpoint import CheckpointManager
+from ..train.checkpoint import CheckpointManager, restore_with_clip_migration
 from ..train.losses import AnchorColorProbLoss
 from ..train.state import TrainState, segnet_frozen_mask
 from ..utils import io as io_lib
@@ -140,7 +140,18 @@ def main(argv=None):
     mgr = CheckpointManager(os.path.join(run_dir, "checkpts"))
     start_epoch, best_loss = 0, float("inf")
     if args.resume and mgr.exists("last"):
-        restored, start_epoch, best_loss = mgr.restore("last", state)
+        def make_alt_state():
+            alt_tx = optim.build_optimizer(
+                args.optimizer, schedule, weight_decay=args.wd,
+                grad_clip=0.0 if args.grad_clip and args.grad_clip > 0 else 1.0,
+            )
+            return TrainState.create(
+                variables, alt_tx, trainable_mask=segnet_frozen_mask(variables["params"])
+            )
+
+        restored, start_epoch, best_loss = restore_with_clip_migration(
+            mgr, "last", state, make_alt_state, logger if is_main else None
+        )
         state = jax.tree_util.tree_map(jnp.asarray, restored)
         if is_main:
             logger.info(f"resumed from epoch {start_epoch} (best {best_loss:.4f})")

@@ -123,3 +123,32 @@ def load_train_variables(path: str, fold_spectral: bool = True) -> dict:
         if state.get(coll):
             variables[coll] = state[coll]
     return fold_spectral_variables(variables) if fold_spectral else variables
+
+
+def restore_with_clip_migration(mgr: CheckpointManager, tag: str, state, make_alt_state, logger=None):
+    """Restore ``tag`` into ``state``; migrate across a --grad_clip change.
+
+    Orbax restores strictly by pytree structure, and toggling --grad_clip
+    between a save and a resume changes the optimizer wrapper structure
+    (optim.py::build_optimizer) — which made the NaN-abort's own advice
+    ("resume from the last finite checkpoint with --grad_clip > 0")
+    impossible to follow. On a structure mismatch this retries with the
+    alternate-structure template from ``make_alt_state()`` (the same
+    TrainState built with the opposite clip setting) and grafts the restored
+    optimizer moments into the requested structure
+    (optim.py::adapt_opt_state). Adam moments/counts survive bit-intact;
+    only the clip wrapper's bookkeeping starts fresh.
+    """
+    from .optim import adapt_opt_state
+
+    try:
+        return mgr.restore(tag, state)
+    except ValueError:
+        alt = make_alt_state()
+        restored, epoch, best = mgr.restore(tag, alt)
+        migrated = restored.replace(
+            opt_state=adapt_opt_state(state.opt_state, restored.opt_state), tx=state.tx
+        )
+        if logger is not None:
+            logger.info("optimizer state migrated across a --grad_clip change")
+        return migrated, epoch, best

@@ -97,3 +97,56 @@ class PlateauState:
                 self.scale *= self.factor
                 self.bad_epochs = 0
         return self.scale
+
+
+def adapt_opt_state(new_state, old_state):
+    """Graft a restored optimizer state into a fresh one whose wrapper
+    structure differs only by the ``grad_clip`` wrapper.
+
+    A checkpoint saved without ``--grad_clip`` stores the bare optimizer
+    state; resuming WITH clipping wraps it in
+    ``ApplyIfFiniteState(..., inner_state=(clip EmptyState, <bare state>))``
+    (and vice versa). Orbax restores strictly by structure, so the trainer's
+    own NaN-abort advice — "resume with --grad_clip > 0" — would otherwise
+    be impossible to follow. This walks the two states in lockstep
+    (multi_transform partitions and masked wrappers descend together),
+    inserts or strips exactly the apply_if_finite/clip layer, and keeps the
+    restored Adam moments/counts bit-intact. Raises on any other mismatch.
+
+    The reference's torch checkpoints have no analogous problem only because
+    torch restores optimizer state by parameter-id, silently dropping
+    mismatches (utils_train.py:140-168); this is the explicit equivalent.
+    """
+    import jax
+
+    ts = jax.tree_util.tree_structure
+    if ts(new_state) == ts(old_state):
+        return old_state
+    new_aif = hasattr(new_state, "notfinite_count")
+    old_aif = hasattr(old_state, "notfinite_count")
+    # multi_transform partitions: descend per label
+    if hasattr(new_state, "inner_states") and hasattr(old_state, "inner_states"):
+        inner = {
+            k: adapt_opt_state(new_state.inner_states[k], old_state.inner_states[k])
+            for k in new_state.inner_states
+        }
+        return new_state._replace(inner_states=type(new_state.inner_states)(inner))
+    # masked wrappers on both sides: descend
+    if (
+        hasattr(new_state, "inner_state")
+        and hasattr(old_state, "inner_state")
+        and not new_aif
+        and not old_aif
+    ):
+        return new_state._replace(
+            inner_state=adapt_opt_state(new_state.inner_state, old_state.inner_state)
+        )
+    if new_aif and not old_aif:
+        clip_empty, inner = new_state.inner_state
+        return new_state._replace(inner_state=(clip_empty, adapt_opt_state(inner, old_state)))
+    if old_aif and not new_aif:
+        return adapt_opt_state(new_state, old_state.inner_state[1])
+    raise ValueError(
+        "optimizer states differ by more than the grad_clip wrapper: "
+        f"{type(new_state).__name__} vs {type(old_state).__name__}"
+    )

@@ -1,5 +1,6 @@
 """End-to-end training behavior: losses decrease, state updates correctly."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -332,3 +333,74 @@ def test_grad_clip_optimizer_robust_to_spikes():
     params4 = jax.tree_util.tree_map(lambda p, u: p + u, params3, updates)
     assert not np.array_equal(np.asarray(params4["w"]), np.asarray(params3["w"]))
     assert np.isfinite(np.asarray(params4["w"])).all()
+
+
+def _adam_substate(opt_state):
+    """Dig out the ScaleByAdamState leaf regardless of wrapper structure."""
+    import optax
+
+    found = []
+
+    def walk(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            found.append(s)
+        elif hasattr(s, "inner_states"):
+            for v in s.inner_states.values():
+                walk(v)
+        elif hasattr(s, "inner_state"):
+            walk(s.inner_state)
+        elif isinstance(s, tuple):
+            for v in s:
+                walk(v)
+
+    walk(opt_state)
+    assert len(found) >= 1
+    return found[0]
+
+
+def test_resume_across_grad_clip_change(tmp_path):
+    """Round-4 field bug: the NaN-abort message says 'resume with
+    --grad_clip > 0', but the clip wrapper changes the optax state structure
+    and Orbax refuses the restore (observed on the r04 stage-1 run).
+    restore_with_clip_migration grafts the Adam moments into the requested
+    structure, both directions, including the colorizer's multi_transform
+    partitioning."""
+    from disentangledcolorization_tpu.train.checkpoint import (
+        CheckpointManager,
+        restore_with_clip_migration,
+    )
+
+    variables = {"params": {"segnet": {"w": jnp.arange(3.0)}, "head": {"w": jnp.ones(2)}}}
+
+    def make_state(clip, masked):
+        tx = optim.build_optimizer("adam", 1e-3, grad_clip=clip)
+        mask = segnet_frozen_mask(variables["params"]) if masked else None
+        return TrainState.create(variables, tx, trainable_mask=mask)
+
+    for masked in (False, True):
+        for clip_saved, clip_resume in ((0.0, 1.0), (1.0, 0.0)):
+            st = make_state(clip_saved, masked)
+            # take one real step so the Adam moments are non-trivial
+            grads = jax.tree_util.tree_map(jnp.ones_like, st.params)
+            st = st.apply_gradients(grads)
+            mgr = CheckpointManager(str(tmp_path / f"ck_{masked}_{clip_saved}"))
+            mgr.save("last", st, epoch=3, best_loss=0.5)
+
+            new = make_state(clip_resume, masked)
+            # the direct restore is what used to crash
+            with pytest.raises(ValueError):
+                mgr.restore("last", new)
+            restored, epoch, best = restore_with_clip_migration(
+                mgr, "last", new, lambda: make_state(clip_saved, masked)
+            )
+            assert epoch == 3 and best == 0.5
+            saved_adam = _adam_substate(st.opt_state)
+            got_adam = _adam_substate(restored.opt_state)
+            assert int(got_adam.count) == int(saved_adam.count) == 1
+            np.testing.assert_array_equal(
+                np.asarray(got_adam.mu["head"]["w"]), np.asarray(saved_adam.mu["head"]["w"])
+            )
+            # and the migrated state must actually step under the NEW tx
+            restored = jax.tree_util.tree_map(jnp.asarray, restored)
+            stepped = restored.apply_gradients(grads)
+            assert int(_adam_substate(stepped.opt_state).count) == 2
