@@ -33,7 +33,7 @@ from ..train.state import TrainState, segnet_frozen_mask
 from ..utils import io as io_lib
 from ..utils.config import pcolor_argparser
 from ..utils.logging import MetricsWriter, StepTimer, build_logger, steptime_stats
-from ..utils.signals import GracefulShutdown
+from ..utils.signals import GracefulShutdown, register_stack_dump
 
 
 def _merge_segnet(variables: dict, spixel_vars: dict) -> dict:
@@ -50,6 +50,7 @@ def _merge_segnet(variables: dict, spixel_vars: dict) -> dict:
 
 def main(argv=None):
     args = pcolor_argparser().parse_args(argv)
+    register_stack_dump()  # kill -USR1 <pid> = thread dump, not termination
     initialize_distributed(args.coordinator, args.num_processes, args.process_id)
     run_dir = os.path.join(args.save_dir, args.name)
     is_main = jax.process_index() == 0
@@ -76,6 +77,23 @@ def main(argv=None):
     )
     train_loader = data_lib.DataLoader(train_ds, shuffle=True, **loader_kwargs)
     val_loader = data_lib.DataLoader(val_ds, shuffle=False, **loader_kwargs)
+
+    # --device_data: dataset lives in HBM, only int32 index batches move per
+    # step (zero steady-state host->device input traffic; the axon tunnel
+    # retains every shipped buffer — see train/data.py::DeviceIndexLoader).
+    # Same default_rng(seed+epoch) shuffle as DataLoader, so a --resume that
+    # switches modes continues the identical batch sequence.
+    dd_train = dd_val = None
+    if args.device_data:
+        if jax.process_count() > 1:
+            raise SystemExit("--device_data is single-process; multi-host uses the sharded DataLoader")
+        dd_train = replicate(mesh, data_lib.stack_dataset(train_ds))
+        dd_val = replicate(mesh, data_lib.stack_dataset(val_ds))
+        train_loader = data_lib.DeviceIndexLoader(len(train_ds), global_batch, shuffle=True, seed=args.seed)
+        val_loader = data_lib.DeviceIndexLoader(len(val_ds), global_batch, shuffle=False, seed=args.seed)
+        if is_main:
+            nbytes = sum(a.nbytes for d in (dd_train, dd_val) for a in d.values())
+            logger.info(f"device-resident dataset: {nbytes/1e9:.2f} GB uploaded once")
 
     model = AnchorColorProb(
         sp_size=args.psize,
@@ -177,6 +195,22 @@ def main(argv=None):
     eval_model = model
     eval_step = steps.make_colorizer_eval_step(eval_model, loss_bundle, class_lambda=class_lambda)
 
+    if args.device_data:
+        from ..parallel import batch_sharding
+
+        _inner_train_step = train_step
+        _bsh = batch_sharding(mesh)
+
+        @jax.jit
+        def train_step_dd(state, dd, idx, base_key):
+            # gather fuses into the step graph: one dispatch, no input ship
+            batch = {k: jax.lax.with_sharding_constraint(jnp.take(dd[k], idx, axis=0), _bsh)
+                     for k in ("gray", "color")}
+            return _inner_train_step(state, batch, base_key)
+
+        def gather_val(idx):
+            return {k: jnp.take(dd_val[k], jnp.asarray(idx), axis=0) for k in ("gray", "color")}
+
     base_key = jax.random.key(args.seed)
     run_steptimes: list[float] = []  # per-step seconds across the whole run
     with jax.set_mesh(mesh), GracefulShutdown() as shutdown:
@@ -187,9 +221,13 @@ def main(argv=None):
             for it, batch in enumerate(train_loader):
                 if shutdown.requested:
                     break
-                batch = shard_batch(mesh, {"gray": batch["gray"], "color": batch["color"]})
-                timer.mark_data()
-                state, metrics = train_step(state, batch, base_key)
+                if dd_train is not None:
+                    timer.mark_data()
+                    state, metrics = train_step_dd(state, dd_train, jnp.asarray(batch), base_key)
+                else:
+                    batch = shard_batch(mesh, {"gray": batch["gray"], "color": batch["color"]})
+                    timer.mark_data()
+                    state, metrics = train_step(state, batch, base_key)
                 # ONE device->host transfer for all scalars: each float() of a
                 # device scalar is a separate ~28 ms axon-tunnel round trip
                 metrics = jax.device_get(metrics)
@@ -238,7 +276,10 @@ def main(argv=None):
                 continue
             val_loss, vn = 0.0, 0
             for it, batch in enumerate(val_loader):
-                b = shard_batch(mesh, {"gray": batch["gray"], "color": batch["color"]})
+                if dd_val is not None:
+                    b = gather_val(batch)
+                else:
+                    b = shard_batch(mesh, {"gray": batch["gray"], "color": batch["color"]})
                 metrics = eval_step(state, b, jax.random.fold_in(base_key, 10_000 + it))
                 val_loss += float(metrics["totalLoss"])
                 vn += 1

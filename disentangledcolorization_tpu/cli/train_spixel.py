@@ -29,11 +29,12 @@ from ..train.state import TrainState
 from ..utils import io as io_lib
 from ..utils.config import spixel_argparser
 from ..utils.logging import MetricsWriter, StepTimer, build_logger
-from ..utils.signals import GracefulShutdown
+from ..utils.signals import GracefulShutdown, register_stack_dump
 
 
 def main(argv=None):
     args = spixel_argparser().parse_args(argv)
+    register_stack_dump()  # kill -USR1 <pid> = thread dump, not termination
     from ..parallel import initialize_distributed
 
     initialize_distributed(args.coordinator, args.num_processes, args.process_id)

@@ -187,3 +187,62 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+
+
+class DeviceIndexLoader:
+    """Index-batch iterator for device-resident datasets (``--device_data``).
+
+    On this TPU-over-tunnel host the runtime retains every host->device input
+    transfer for process lifetime (measured r04: +25 MB RSS per 25 MB
+    device_put, ``.delete()`` included), so a long run OOMs the HOST and the
+    per-step ship costs ~4 s of its step time. For datasets that fit HBM the
+    TPU-native answer is to upload the stacked tensors ONCE
+    (:func:`stack_dataset`) and move only int32 index batches per step; the
+    gather runs inside the jitted step. Epoch shuffle is bit-identical to
+    :class:`DataLoader` (``default_rng(seed + epoch)``) so switching modes
+    mid-run — e.g. on ``--resume`` — preserves the exact batch sequence.
+    Single-process runs only (multi-host keeps the per-host sharded
+    :class:`DataLoader`).
+    """
+
+    def __init__(self, n: int, batch_size: int, shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = True):
+        self.n = n
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        return self.n // self.batch_size if self.drop_last else -(-self.n // self.batch_size)
+
+    def __iter__(self):
+        idx = np.arange(self.n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        for b in range(len(self)):
+            yield idx[b * self.batch_size : (b + 1) * self.batch_size].astype(np.int32)
+
+
+def stack_dataset(ds, keys=("gray", "color")) -> dict:
+    """Decode every item once and stack into full-dataset arrays for the
+    one-time device upload (``--device_data``). 256x256 f32 gray+color is
+    ~0.77 MB/image — 1.3 GB per 1664 images; guard against datasets that
+    clearly cannot fit next to the model in 16 GB HBM."""
+    n = len(ds)
+    budget_gb = float(os.environ.get("DISCO_DEVICE_DATA_GB", "8"))
+    items = [ds[i] for i in range(n)]
+    out = {k: np.stack([it[k] for it in items]) for k in keys}
+    total = sum(a.nbytes for a in out.values())
+    if total > budget_gb * 1e9:
+        raise ValueError(
+            f"--device_data: dataset is {total/1e9:.1f} GB stacked, over the "
+            f"{budget_gb} GB HBM budget (DISCO_DEVICE_DATA_GB to override); "
+            "use the host DataLoader for datasets this size"
+        )
+    return out

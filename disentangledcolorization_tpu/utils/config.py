@@ -41,6 +41,11 @@ def _add_common(parser: argparse.ArgumentParser):
                         help="cache decoded+resized images in host RAM after "
                              "the first epoch (3 bytes/px/img; for small "
                              "datasets on decode-bound hosts — train/data.py)")
+    parser.add_argument("--device_data", action="store_true", default=False,
+                        help="upload the whole dataset to device HBM once and "
+                             "gather batches on-device per step (zero per-step "
+                             "host->device input traffic; single-process, "
+                             "HBM-sized datasets — train/data.py::DeviceIndexLoader)")
     parser.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     # distributed (jax.distributed replaces torch.distributed.launch)
     parser.add_argument("--coordinator", type=str, default=None)

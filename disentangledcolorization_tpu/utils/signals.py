@@ -56,3 +56,22 @@ class GracefulShutdown:
             self._prev.clear()
             self._active = False
         return None
+
+
+def register_stack_dump(sig=signal.SIGUSR1) -> bool:
+    """SIGUSR1 -> dump all thread stacks to stderr (faulthandler).
+
+    Long-running trainers block for minutes at a time inside device
+    transfers through the axon tunnel; when one wedges (observed r04:
+    ``jax.device_get`` never returning after ~900 steps), the only
+    diagnostic is a thread dump. pytest gets this from conftest.py — the
+    trainers register it themselves so ``kill -USR1 <pid>`` is always safe
+    and informative (a bare SIGUSR1 would otherwise TERMINATE the process:
+    default disposition). Main-thread only; returns False elsewhere.
+    """
+    import faulthandler
+
+    if threading.current_thread() is not threading.main_thread():
+        return False
+    faulthandler.register(sig, all_threads=True, chain=False)
+    return True

@@ -94,3 +94,65 @@ def test_native_two_stage_chain(chain_env):
 
     first = cv2.imread(os.path.join(out_dir, "im0.png"))
     assert first.shape == (32, 32, 3) and np.isfinite(first).all()
+
+
+def test_device_index_loader_matches_dataloader_order():
+    """--device_data must see the IDENTICAL batch sequence the host loader
+    would produce (same default_rng(seed+epoch) shuffle), so a --resume that
+    switches modes mid-run continues the same data stream."""
+    from disentangledcolorization_tpu.train.data import DataLoader, DeviceIndexLoader
+
+    class FakeDS:
+        def __len__(self):
+            return 13
+
+    host = DataLoader(FakeDS(), batch_size=3, shuffle=True, seed=5, num_workers=0)
+    dev = DeviceIndexLoader(13, 3, shuffle=True, seed=5)
+    for epoch in (0, 1, 7):
+        host.set_epoch(epoch)
+        dev.set_epoch(epoch)
+        host_idx = host._indices()
+        dev_batches = list(dev)
+        assert len(dev_batches) == len(host) == 4  # drop_last
+        got = np.concatenate(dev_batches)
+        np.testing.assert_array_equal(got, host_idx[: len(got)])
+        # full coverage before the dropped tail
+        assert len(np.unique(got)) == len(got)
+
+
+def test_colorizer_device_data_cli(tmp_path):
+    """--device_data end-to-end: dataset uploaded once, in-jit gather across
+    the 8-device test mesh, checkpoints written, finite metrics.
+
+    Self-contained data: the conftest mesh has 8 devices, so global batch =
+    batch_size * 8 — the shared 6-image fixture would yield ZERO steps."""
+    import json
+
+    import cv2
+
+    data = tmp_path / "imgs"
+    rng = np.random.default_rng(3)
+    for split, count in (("train", 10), ("val", 8)):
+        (data / split).mkdir(parents=True)
+        for i in range(count):
+            img = rng.uniform(0, 255, (32, 32, 3)).astype(np.uint8)
+            cv2.imwrite(str(data / split / f"im{i}.png"), img)
+
+    from disentangledcolorization_tpu.cli import train_colorizer
+
+    runs = str(tmp_path / "runs")
+    train_colorizer.main([
+        "--data", str(data), "--dataset", "disco", "--save_dir", runs, "--name", "color_dd",
+        "--input_size", "32", "--batch_size", "1", "--epochs", "1", "--grad_accum", "2",
+        "--n_clusters", "2", "--num_workers", "0", "--seed", "2",
+        "--enhanced", "--device_data",
+    ])
+    run = os.path.join(runs, "color_dd")
+    assert os.path.isdir(os.path.join(run, "checkpts", "model_last"))
+    with open(os.path.join(run, "metrics_train.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    total = [r["value"] for r in rows if r["name"] == "train/totalLoss"]
+    assert total and np.isfinite(total).all()
+    with open(os.path.join(run, "metrics_val.jsonl")) as f:
+        val = [json.loads(l)["value"] for l in f if '"val/totalLoss"' in l]
+    assert val and np.isfinite(val).all()
