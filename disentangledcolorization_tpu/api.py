@@ -178,6 +178,27 @@ class Colorizer:
         gray = (lab[..., :1] - 50.0) / 50.0
         return gray[None], (h, w)
 
+    def anchor_mask(self, image: np.ndarray, key: Optional[jax.Array] = None):
+        """Where the model itself would place its anchors: the k-means hint
+        mask over the token grid, as an (h, w) float array in {0, 1}.
+
+        The reference exposes the same information by painting the anchor
+        markers onto the output (mark_color_hints, basic.py:107-117 /
+        inference.py:130); interactive frontends need the raw positions to
+        seed user hints at the model's own (content-representative) anchors.
+        """
+        grays, _ = self._prep(image)
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+
+        def fn(variables, g, k):
+            c = jnp.zeros(g.shape[:3] + (2,), jnp.float32)
+            out = self.model.apply(variables, g, c, True, 0, False, rngs={"anchor": k})
+            return out["hint_mask"]
+
+        mask = np.asarray(jax.jit(fn)(self.variables, jnp.asarray(grays), key))
+        return mask[0, ..., 0]
+
     def colorize(
         self,
         image: np.ndarray,

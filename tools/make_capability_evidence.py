@@ -79,16 +79,20 @@ def main():
     mask = np.zeros((hc, wc), np.float32)
     ab_a = np.zeros((hc, wc, 2), np.float32)
     ab_b = np.zeros((hc, wc, 2), np.float32)
+    ab_c = np.zeros((hc, wc, 2), np.float32)
     pins = [(3, 3), (3, 12), (8, 8), (12, 4), (12, 12)]
     for y, x in pins:
         mask[y, x] = 1.0
         ab_a[y, x] = (0.25, -0.55)   # blue-ish
         ab_b[y, x] = (0.50, 0.35)    # warm red/orange
+        ab_c[y, x] = (-0.50, 0.40)   # green
     hinted_a = c.colorize(img256, hints=(mask, ab_a), key=jax.random.key(3))
     hinted_b = c.colorize(img256, hints=(mask, ab_b), key=jax.random.key(3))
+    hinted_c = c.colorize(img256, hints=(mask, ab_c), key=jax.random.key(3))
     baseline = c.colorize(img256, key=jax.random.key(3))
     save("hints_palette_blue.png", hinted_a)
     save("hints_palette_warm.png", hinted_b)
+    save("hints_palette_green.png", hinted_c)
     save("hints_none_baseline.png", baseline)
 
     # Quantify SEMANTIC steering (VERDICT r3 Next #7): inside the hinted
@@ -103,7 +107,11 @@ def main():
         ])
 
     base_ab = region_mean_ab(baseline)
-    for name, hinted, hint_ab in (("blue", hinted_a, ab_a), ("warm", hinted_b, ab_b)):
+    for name, hinted, hint_ab in (
+        ("blue", hinted_a, ab_a),
+        ("warm", hinted_b, ab_b),
+        ("green", hinted_c, ab_c),
+    ):
         got_ab = region_mean_ab(hinted)
         target = np.stack([hint_ab[y, x] for (y, x) in pins])
         d_base = np.linalg.norm(base_ab - target, axis=1)
@@ -119,6 +127,40 @@ def main():
     metrics["hints_blue_vs_warm_mean_rgb_delta"] = float(
         np.abs(hinted_a.astype(np.int16) - hinted_b.astype(np.int16)).mean()
     )
+
+    # 4. hints at the MODEL'S OWN anchor positions: the k-means anchors land
+    # on content-representative tokens — the positions where training ever
+    # placed anchors — so steering there isolates color-following from the
+    # position-generalization question raised by the fixed grid pins above.
+    own = c.anchor_mask(img256, key=jax.random.key(3))
+    own_pins = [tuple(p) for p in np.argwhere(own > 0.5)]
+    for name, hint in (("blue", (0.25, -0.55)), ("green", (-0.50, 0.40))):
+        ab_o = np.zeros((hc, wc, 2), np.float32)
+        for y, x in own_pins:
+            ab_o[y, x] = hint
+        hinted_o = c.colorize(img256, hints=(own, ab_o), key=jax.random.key(3))
+        save(f"hints_own_anchors_{name}.png", hinted_o)
+
+        def pin_mean_ab(rgb, pins):
+            lab = cv2.cvtColor(rgb.astype(np.float32) / 255.0, cv2.COLOR_RGB2LAB)
+            ab = lab[..., 1:] / 110.0
+            return np.stack([
+                ab[y * 16 : (y + 1) * 16, x * 16 : (x + 1) * 16].reshape(-1, 2).mean(0)
+                for (y, x) in pins
+            ])
+
+        target = np.stack([ab_o[y, x] for (y, x) in own_pins])
+        d_base = np.linalg.norm(pin_mean_ab(baseline, own_pins) - target, axis=1)
+        d_hint = np.linalg.norm(pin_mean_ab(hinted_o, own_pins) - target, axis=1)
+        metrics[f"hint_steering_own_anchors_{name}"] = {
+            "n_anchor_positions": len(own_pins),
+            "mean_dist_to_hint_baseline": float(d_base.mean()),
+            "mean_dist_to_hint_hinted": float(d_hint.mean()),
+            "moved_toward_hint": bool(d_hint.mean() < d_base.mean()),
+            "mean_rgb_delta_vs_baseline": float(
+                np.abs(hinted_o.astype(np.int16) - baseline.astype(np.int16)).mean()
+            ),
+        }
 
     import json
 
