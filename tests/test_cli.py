@@ -177,6 +177,30 @@ def test_colorizer_api(tiny_imgs):
     assert diff[16:32, 16:32].max() > 0, "hinted block unaffected by its own hint"
 
 
+def test_colorizer_anchor_mask(tiny_imgs):
+    """Colorizer.anchor_mask exposes the model's own k-means anchor
+    positions on the token grid (reference affordance: mark_color_hints
+    painting, basic.py:107-117) — one anchor per cluster, usable as the
+    mask input of colorize(hints=...)."""
+    import cv2
+    import jax
+
+    from disentangledcolorization_tpu.api import Colorizer
+
+    c = Colorizer(n_clusters=2, bucket=16, seed=3)
+    img = cv2.cvtColor(cv2.imread(os.path.join(tiny_imgs, "im0.jpg")), cv2.COLOR_BGR2RGB)
+    mask = c.anchor_mask(img, key=jax.random.key(5))
+    hc, wc = 48 // 16, 48 // 16
+    assert mask.shape == (hc, wc)
+    assert set(np.unique(mask)).issubset({0.0, 1.0})
+    assert mask.sum() == 2  # one representative token per cluster
+    # the mask is directly consumable as the hints mask
+    ab = np.zeros((hc, wc, 2), np.float32)
+    ab[mask > 0.5] = (0.3, -0.4)
+    out = c.colorize(img, hints=(mask, ab), key=jax.random.key(5))
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
 def test_colorizer_api_quantize(tiny_imgs):
     """Colorizer(quantize='int8') calibrates on the first call and keeps
     producing images close to the f32 path."""
