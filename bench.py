@@ -22,6 +22,13 @@ Baseline (vs_baseline denominator): the PyTorch reference running the same
 workload on CPU (tools/bench_torch_ref.py, this host: 0.32 images/sec).
 The reference repo publishes no throughput numbers (SURVEY.md section 6).
 
+Budget discipline (round 5, after BENCH_r04's rc=124 empty-tail timeout): the
+script logs a `# [t+Ns] <phase>` line at every stage plus a 60 s heartbeat
+(stderr), points jit at the committed `.jax_cache` persistent compilation
+cache (warm: every compile is an AOT deserialization), and sheds optional
+work (extra timing repeats, cost analysis) past DISCO_BENCH_DEADLINE
+(default 480 s) so the JSON line still gets out.
+
 Production config measured here: bf16 conv activations + int8 PTQ on the wide
 convs with first-batch-calibrated static activation scales (ops/quant.py;
 DISCO_INT8=static is the default — set DISCO_INT8=0 for the pure-bf16 path).
@@ -37,12 +44,37 @@ cost on TRAINED weights: 39.5 dB PSNR / 0.9885 SSIM vs the f32 outputs
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache (round-5, BENCH_r04 rc=124 post-mortem): the
+# driver's round-end bench run shares this host + libtpu, so every jit here is
+# an AOT deserialization when the committed .jax_cache is warm (measured on
+# axon: 11.8 s -> 0.3 s for a toy graph; bench wall 6m36s cold -> see STATUS
+# warm). Entries are keyed by platform, so the dryrun's CPU entries coexist.
+if os.environ.get("DISCO_BENCH_NO_CACHE", "") != "1":
+    _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+_T0 = time.monotonic()
+# Soft overall deadline. BENCH_r04 was rc=124 with an empty tail (the driver's
+# timeout killed an opaque run — wedged-tunnel backend init, most likely).
+# The phase lines below make any future timeout's artifact tail show exactly
+# where the time went; past _progress checkpoints the script sheds optional
+# work (extra timing repeats) to get the JSON line out.
+DEADLINE_S = float(os.environ.get("DISCO_BENCH_DEADLINE", "480"))
+
+
+def _progress(msg: str) -> None:
+    print(f"# [t+{time.monotonic() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
 
 TORCH_CPU_BASELINE_IMG_PER_S = 0.32
 V5E_BF16_PEAK_TFLOPS = 197.0
@@ -52,7 +84,8 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 # using the int8 peak keeps the check conservative).
 V5E_INT8_PEAK_TOPS = 394.0
 
-BATCH = 128  # sweet spot on v5e under int8 PTQ. bf16 sweeps (img/s): b8 295,
+BATCH = int(os.environ.get("DISCO_BENCH_BATCH", "128"))
+# 128 = sweet spot on v5e under int8 PTQ. bf16 sweeps (img/s): b8 295,
 # b16 299, b32 331->364 (after bf16-operand pooling), b48 379.0, b56 381.8,
 # b64 371.7 (2026-08-17). int8 halves activation HBM so the knee moves way up
 # (2026-08-18 sweep): b56 499.4, b64 511.2, b80 528.2, b96 618.9, b112 629.6,
@@ -64,17 +97,32 @@ ITERS = 12
 
 def _timed(fn, *args, repeat=3):
     best = float("inf")
-    for _ in range(repeat):
+    for i in range(repeat):
         t0 = time.perf_counter()
         float(fn(*args))  # scalar host transfer = true sync
         best = min(best, time.perf_counter() - t0)
+        # shed the remaining repeats when the soft deadline nears: a slightly
+        # noisier number beats an rc=124 artifact with no JSON line at all
+        if i >= 1 and time.monotonic() - _T0 > 0.85 * DEADLINE_S:
+            _progress(f"deadline near — stopping after {i + 1}/{repeat} repeats")
+            break
     return best
 
 
 def main():
-    import os
-
     os.environ.setdefault("DISCO_INT8", "static")  # production inference config
+    _progress("backend init (device dial happens on first use)")
+    # Heartbeat: if the axon tunnel wedges (observed in round 4: a >70 min
+    # device_get stall; BENCH_r04's empty-tail rc=124), the artifact tail
+    # still shows the last phase reached and that the process was alive.
+    import threading
+
+    def _beat():
+        while True:
+            time.sleep(60)
+            _progress("heartbeat")
+
+    threading.Thread(target=_beat, daemon=True).start()
 
     from disentangledcolorization_tpu.models import AnchorColorProb
 
@@ -98,6 +146,7 @@ def main():
         False,
     )
     jax.block_until_ready(variables)
+    _progress("model init done")
 
     # DISCO_INT8=static: one calibration forward (f32 convs, records per-conv
     # activation ranges into the 'quant' collection), then the timed chains
@@ -145,29 +194,37 @@ def main():
         )(variables, calib_g, colors, jax.random.key(9))
         variables = {**variables, **jax.block_until_ready(mut)}
         os.environ["DISCO_INT8"] = "static"
+        _progress("int8 calibration done")
 
-    def one_forward(g, key):
-        out = model.apply(variables, g, colors, True, 0, False, rngs={"anchor": key})
+    def one_forward(v, g, key):
+        out = model.apply(v, g, colors, True, 0, False, rngs={"anchor": key})
         return out["pred_colors"]
 
     def chained(k):
+        # variables/grays are ARGUMENTS, not closure captures: captured they
+        # become embedded constants and the serialized executable balloons to
+        # ~400 MB (unshippable .jax_cache entry); as args the persistent-cache
+        # entry is small and the compiled program is identical (weights are
+        # loop constants either way).
         @jax.jit
-        def f(key0):
+        def f(key0, v, gr):
             def body(carry, i):
                 key = jax.random.fold_in(key0, i)
                 # iteration-dependent INPUT: nothing upstream of the prediction
                 # is loop-invariant, so XLA cannot hoist the encoder out of
                 # the scan (round-1 verdict, Weak #1)
-                g = grays + (0.001 * i.astype(jnp.float32) + carry * 1e-12)
-                pred = one_forward(g, key)
+                g = gr + (0.001 * i.astype(jnp.float32) + carry * 1e-12)
+                pred = one_forward(v, g, key)
                 # fold result into carry so every iteration is live
                 return carry + pred.mean(dtype=jnp.float32), None
             acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(k))
             return acc
         return f
 
-    f1 = chained(1)
-    fN = chained(ITERS + 1)
+    f1_raw = chained(1)
+    fN_raw = chained(ITERS + 1)
+    f1 = lambda key: f1_raw(key, variables, grays)  # noqa: E731
+    fN = lambda key: fN_raw(key, variables, grays)  # noqa: E731
 
     def _compile_with_retry(fn, *args, attempts=3):
         # the axon remote-compile tunnel occasionally drops a response body;
@@ -186,9 +243,12 @@ def main():
                 time.sleep(10)
 
     _compile_with_retry(f1, jax.random.key(2))
+    _progress("1-iter chain compiled")
     _compile_with_retry(fN, jax.random.key(2))
+    _progress(f"{ITERS + 1}-iter chain compiled")
     d1 = _timed(f1, jax.random.key(3))
     dN = _timed(fN, jax.random.key(3))
+    _progress(f"timing done (d1={d1:.2f}s dN={dN:.2f}s)")
     per_forward = max((dN - d1) / ITERS, 1e-9)
     img_per_s = BATCH / per_forward
 
@@ -196,7 +256,9 @@ def main():
     # compiled 1-iteration chain (= one forward + scalar epsilon) instead of
     # paying another full lower+compile through the tunnel.
     try:
-        cost = f1.lower(jax.random.key(2)).compile().cost_analysis()
+        if time.monotonic() - _T0 > 0.9 * DEADLINE_S:
+            raise TimeoutError("soft deadline — skipping cost analysis")
+        cost = f1_raw.lower(jax.random.key(2), variables, grays).compile().cost_analysis()
         flops_per_batch = float(cost.get("flops", 0.0))
     except Exception as e:  # noqa: BLE001
         print(f"# cost analysis unavailable ({type(e).__name__})", file=sys.stderr)
