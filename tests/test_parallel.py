@@ -11,12 +11,19 @@ def test_mesh_has_8_devices():
     assert jax.device_count() >= 8
 
 
-def test_dryrun_multichip_entry():
+def test_dryrun_multichip_entry(monkeypatch):
     import sys, os
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __graft_entry__ as ge
 
+    # This test checks CORRECTNESS of the suite, not the driver's wall-clock
+    # budget (the driver runs the default 1500 s deadline in a quiet process).
+    # Inside a full pytest run the 8-thread collective legs contend with the
+    # session's accumulated state on this 1-core host — measured 1026 s quiet
+    # vs >1500 s mid-suite (round-5) — so give the subprocess more headroom
+    # rather than failing on scheduler variance.
+    monkeypatch.setenv("DISCO_DRYRUN_TIMEOUT", "2700")
     ge.dryrun_multichip(8)
 
 
