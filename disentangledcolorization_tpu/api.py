@@ -44,6 +44,9 @@ class Colorizer:
         """``quantize='int8'``: post-training-quantize the wide convs, with
         activation scales calibrated on the first image/batch processed
         (ops/quant.py; measured +31% serving throughput on v5e).
+        ``quantize='int8_safe'``: same, minus the repnet trunk — the
+        palette-stable choice for anchor-ambiguous checkpoints (see
+        ops/quant.py::excluded for the measured drift numbers).
 
         ``wire_dtype='uint8'``: quantize the predicted ab channels to uint8 ON
         DEVICE and dequantize on host, quartering the device->host transfer
@@ -54,10 +57,16 @@ class Colorizer:
         values for the library API."""
         from .cli.infer import load_variables
 
-        if quantize not in ("none", "int8"):
+        if quantize not in ("none", "int8", "int8_safe"):
             raise ValueError(f"quantize={quantize!r}")
         if wire_dtype not in ("float32", "uint8"):
             raise ValueError(f"wire_dtype={wire_dtype!r}")
+        if quantize == "int8_safe":
+            # palette-stable int8: keep the anchor-feature trunk (repnet) in
+            # bf16 so int8 noise cannot flip the k-means palette choice on
+            # anchor-ambiguous checkpoints (ops/quant.py::excluded)
+            os.environ["DISCO_INT8_EXCLUDE"] = "repnet"
+            quantize = "int8"
         self._quantize = quantize
         self._wire_uint8 = wire_dtype == "uint8"
         self._calibrated = False

@@ -74,6 +74,11 @@ def build_model(args, sn_folded: bool) -> AnchorColorProb:
 
 def main(argv=None):
     args = inference_argparser().parse_args(argv)
+    if args.quantize == "int8_safe":
+        # palette-stable int8: identical machinery, but convs under repnet
+        # (the anchor-feature trunk) stay bf16 (ops/quant.py::excluded)
+        os.environ["DISCO_INT8_EXCLUDE"] = "repnet"
+        args.quantize = "int8"
     args.dense_pos = True
     args.model = "AnchorColorProb"
     print(f"@Inference: [AnchorColorProb] (spixel-size={args.psize})")

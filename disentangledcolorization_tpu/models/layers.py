@@ -80,7 +80,11 @@ class Conv(nn.Module):
             dtype=self.dtype or x.dtype,
             name="conv",
         )
-        if quant.quant_enabled() and x.shape[-1] >= quant.MIN_CH:
+        if (
+            quant.quant_enabled()
+            and x.shape[-1] >= quant.MIN_CH
+            and not quant.excluded(self.scope.path if self.scope else ())
+        ):
             # int8 PTQ inference path (DISCO_INT8, see ops/quant.py).
             mode = quant.quant_mode()
             amax = None
@@ -162,7 +166,12 @@ class SNConv(nn.Module):
             w = kernel / jax.lax.stop_gradient(sigma)
 
         dtype = self.dtype or x.dtype
-        if quant.quant_enabled() and self.folded and in_ch >= quant.MIN_CH:
+        if (
+            quant.quant_enabled()
+            and self.folded
+            and in_ch >= quant.MIN_CH
+            and not quant.excluded(self.scope.path if self.scope else ())
+        ):
             # int8 PTQ inference path (DISCO_INT8; folded weights only —
             # the un-folded training path keeps the spectral-norm dynamics)
             mode = quant.quant_mode()

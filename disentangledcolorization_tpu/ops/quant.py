@@ -71,6 +71,29 @@ def quant_enabled() -> bool:
     return quant_mode() != "off"
 
 
+def excluded(path) -> bool:
+    """True when a flax module path has a component named in DISCO_INT8_EXCLUDE.
+
+    DISCO_INT8_EXCLUDE is a comma-separated list of module names (e.g.
+    ``repnet``). Convs under an excluded module stay in the compute dtype even
+    when int8 PTQ is active — the *palette-stable* int8 mode
+    (``--quantize int8_safe``): DISCO's anchor colors are selected by k-means
+    over repnet features, and on anchor-ambiguous checkpoints (chroma-jitter
+    training teaches several equally-likely palettes) int8 noise in those
+    features flips the discrete palette choice — measured int8-vs-f32 output
+    drift 20.2-21.0 dB PSNR on the round-4/5 jitter checkpoints vs 39.5 dB on
+    the round-3 unambiguous checkpoint (EVAL_r05.json, docs/STATUS.md).
+    Keeping repnet in bf16 removes the noise at the decision point while the
+    post-decision convs (hourglass enhancer, wide segnet stages) keep the MXU
+    int8 win.
+    """
+    excl = os.environ.get("DISCO_INT8_EXCLUDE", "")
+    if not excl:
+        return False
+    names = {s.strip() for s in excl.split(",") if s.strip()}
+    return any(p in names for p in (path or ()))
+
+
 def quantize_weight(kernel: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(H, W, I, O) f32 kernel -> (int8 kernel, (O,) f32 scales), symmetric."""
     amax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))

@@ -125,10 +125,12 @@ def inference_argparser() -> argparse.ArgumentParser:
                    help="output root (default: cwd, matching reference inference.py:62)")
     p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument(
-        "--quantize", default="none", choices=["none", "int8"],
+        "--quantize", default="none", choices=["none", "int8", "int8_safe"],
         help="int8: post-training-quantize the wide convs with scales "
         "calibrated on the first batch (ops/quant.py; measured +31%% "
-        "throughput on v5e at ~1 ab-unit output cost)",
+        "throughput on v5e at ~1 ab-unit output cost). int8_safe: same but "
+        "the anchor-feature trunk (repnet) stays bf16 — palette-stable on "
+        "anchor-ambiguous checkpoints (ops/quant.py::excluded)",
     )
     p.add_argument("--trace_dir", type=str, default="", help="jax.profiler trace output dir")
     p.add_argument(

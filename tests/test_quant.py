@@ -150,3 +150,53 @@ def test_snconv_folded_int8_gate(monkeypatch):
     y_t = mt.apply(vt, x)
     monkeypatch.delenv("DISCO_INT8")
     np.testing.assert_array_equal(np.asarray(y_t), np.asarray(mt.apply(vt, x)))
+
+
+def test_excluded_path_matching(monkeypatch):
+    from disentangledcolorization_tpu.ops import quant
+
+    monkeypatch.delenv("DISCO_INT8_EXCLUDE", raising=False)
+    assert not quant.excluded(("repnet", "block1", "conv"))
+    monkeypatch.setenv("DISCO_INT8_EXCLUDE", "repnet")
+    assert quant.excluded(("repnet", "block1", "conv"))
+    assert not quant.excluded(("segnet", "conv0"))
+    assert not quant.excluded(())
+    monkeypatch.setenv("DISCO_INT8_EXCLUDE", "repnet, segnet")
+    assert quant.excluded(("segnet", "conv0"))
+
+
+def test_exclusion_keeps_module_exact(monkeypatch):
+    """DISCO_INT8_EXCLUDE=sub keeps convs under a module named 'sub' on the
+    exact f32 path (bit-identical to no-quant) while sibling convs quantize —
+    the mechanism behind --quantize int8_safe (palette-stable int8)."""
+    import flax.linen as nn
+
+    from disentangledcolorization_tpu.models.layers import Conv
+
+    class Two(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            a = Conv(16, name="other")(x)
+            b = Conv(16, name="sub")(x)
+            return a, b
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 8, 8, 32)).astype(np.float32))
+    m = Two()
+    variables = m.init(jax.random.key(0), x)
+    a_f32, b_f32 = m.apply(variables, x)
+    monkeypatch.setenv("DISCO_INT8", "1")
+    monkeypatch.setenv("DISCO_INT8_EXCLUDE", "sub")
+    a_q, b_q = m.apply(variables, x)
+    # excluded subtree: bit-identical to the unquantized forward
+    np.testing.assert_array_equal(np.asarray(b_q), np.asarray(b_f32))
+    # sibling is genuinely on the int8 path (close but not identical)
+    assert np.abs(np.asarray(a_q) - np.asarray(a_f32)).max() > 0
+    # calib records no act_amax under the excluded subtree
+    monkeypatch.setenv("DISCO_INT8", "calib")
+    _, mut = m.apply(variables, x, mutable=["quant"])
+    from flax import traverse_util
+
+    keys = {"/".join(k) for k in traverse_util.flatten_dict(mut["quant"])}
+    assert any(k.startswith("other/") for k in keys)
+    assert not any(k.startswith("sub/") for k in keys)
