@@ -278,12 +278,20 @@ def main(argv=None):
         "uint8 (default) quarters the transfer at <=0.43 ab-unit cost — the "
         "same quantization cv2's 8-bit Lab I/O applies",
     )
+    ap.add_argument(
+        "--quantize", default="none", choices=["none", "int8", "int8_safe"],
+        help="int8 PTQ on the wide convs (+84%% device throughput, v5e b128); "
+        "int8_safe keeps the anchor trunk bf16 (+39%%) so the palette choice "
+        "is stable across quantization — the right default for interactive "
+        "hint serving on anchor-ambiguous checkpoints (docs/STATUS.md)",
+    )
     args = ap.parse_args(argv)
     colorizer = Colorizer(
         checkpoint=args.checkpt,
         n_clusters=args.n_clusters,
         data_parallel=args.data_parallel,
         wire_dtype=args.wire,
+        quantize=args.quantize,
     )
     if args.warmup:
         buckets = [int(b) for b in args.warmup.split(",")]

@@ -237,3 +237,42 @@ def test_reference_flag_aliases():
     assert a.colorfulness == 0.2
     sched = build_schedule("linear", 2e-4, 60, 100, a.lr_decay_ratio)
     assert abs(float(sched(0)) - 2e-4) < 1e-9
+
+
+def test_infer_cli_quantize_int8_safe(tmp_path, tiny_imgs):
+    """--quantize int8_safe: identical machinery to int8 but repnet (the
+    anchor-feature trunk) stays on the exact path via DISCO_INT8_EXCLUDE —
+    the palette-stable mode (ops/quant.py::excluded; measured 32.8 dB vs
+    21.0 dB int8-vs-f32 drift on the round-5 jitter checkpoint)."""
+    import cv2
+
+    d_ref = _run_infer(tmp_path / "a", tiny_imgs, ["--no_resize"])
+    d_q = _run_infer(
+        tmp_path / "b", tiny_imgs, ["--no_resize", "--quantize", "int8_safe"]
+    )
+    try:
+        assert os.environ.get("DISCO_INT8") == "static"
+        assert os.environ.get("DISCO_INT8_EXCLUDE") == "repnet"
+        for name in ("im0.png", "im1.png"):
+            ref = cv2.imread(os.path.join(d_ref, name)).astype(np.int16)
+            q = cv2.imread(os.path.join(d_q, name)).astype(np.int16)
+            assert q.shape == ref.shape
+            assert np.abs(ref - q).mean() < 16.0, name
+    finally:
+        os.environ.pop("DISCO_INT8", None)
+        os.environ.pop("DISCO_INT8_EXCLUDE", None)
+
+
+def test_serve_cli_accepts_int8_safe():
+    """serve.py exposes --quantize {none,int8,int8_safe} (round-5)."""
+    import argparse
+
+    from disentangledcolorization_tpu import serve
+
+    # pull the parser out of main() without starting a server: parse_known
+    # via a trial parse of just the flag against a fresh parser is not
+    # accessible, so assert on the argparse wiring through a dry parse
+    import inspect
+
+    src = inspect.getsource(serve.main)
+    assert '"--quantize"' in src and '"int8_safe"' in src
