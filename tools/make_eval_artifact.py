@@ -171,28 +171,40 @@ def main(argv=None):
         if metrics.get("extractor", "").startswith("randproj") and "fid" in metrics:
             metrics[f"randproj_fid_n{metrics.get('n', '')}"] = metrics.pop("fid")
 
-        # int8 drift: re-run the same inference with the production PTQ path
-        # (bench.py's headline config) and score its outputs AGAINST the f32
-        # outputs — the per-round record of what quantization costs.
-        int8_dir = os.path.join(td, "int8")
-        int8_cmd = list(infer_cmd) + ["--quantize", "int8"]
-        int8_cmd[int8_cmd.index("--save_dir") + 1] = int8_dir
-        subprocess.run(int8_cmd, check=True, cwd=REPO)
-        int8_pred = os.path.join(int8_dir, f"eval-anchor{args.n_clusters}")
-        drift_out = subprocess.run(
-            [
-                sys.executable, "-m", "disentangledcolorization_tpu.cli.evaluate",
-                "--pred", int8_pred, "--gt", pred_dir, "--batch", "4",
-            ],
-            check=True, cwd=REPO, capture_output=True, text=True,
-        )
-        int8_drift = json.loads(drift_out.stdout.strip().splitlines()[-1])
+        # int8 drift: re-run the same inference with the production PTQ paths
+        # and score their outputs AGAINST the f32 outputs — the per-round
+        # record of what quantization costs. Both modes are recorded since
+        # round 5: 'int8' (bench.py's headline config) and 'int8_safe'
+        # (repnet excluded — palette-stable on anchor-ambiguous checkpoints,
+        # ops/quant.py::excluded).
+        def _drift(mode: str) -> dict:
+            q_dir = os.path.join(td, mode)
+            q_cmd = list(infer_cmd) + ["--quantize", mode]
+            q_cmd[q_cmd.index("--save_dir") + 1] = q_dir
+            subprocess.run(q_cmd, check=True, cwd=REPO)
+            q_pred = os.path.join(q_dir, f"eval-anchor{args.n_clusters}")
+            out = subprocess.run(
+                [
+                    sys.executable, "-m", "disentangledcolorization_tpu.cli.evaluate",
+                    "--pred", q_pred, "--gt", pred_dir, "--batch", "4",
+                ],
+                check=True, cwd=REPO, capture_output=True, text=True,
+            )
+            return json.loads(out.stdout.strip().splitlines()[-1])
 
-    drift = dict(int8_drift)
-    # colorfulness is an absolute statistic, not a similarity score — record
-    # the int8-vs-f32 *delta* so the drift block only contains drift measures
-    if "colorfulness" in drift and "colorfulness" in metrics:
-        drift["colorfulness_delta"] = round(drift.pop("colorfulness") - metrics["colorfulness"], 4)
+        int8_drift = _drift("int8")
+        int8_safe_drift = _drift("int8_safe")
+
+    def _pack_drift(d: dict) -> dict:
+        d = dict(d)
+        # colorfulness is an absolute statistic, not a similarity score —
+        # record the vs-f32 *delta* so the block only contains drift measures
+        if "colorfulness" in d and "colorfulness" in metrics:
+            d["colorfulness_delta"] = round(d.pop("colorfulness") - metrics["colorfulness"], 4)
+        return d
+
+    drift = _pack_drift(int8_drift)
+    safe_drift = _pack_drift(int8_safe_drift)
 
     artifact = {
         "round": args.round,
@@ -218,8 +230,16 @@ def main(argv=None):
         "int8_drift_vs_f32": {
             "note": "production PTQ outputs scored against the f32 outputs "
                     "(same seed/weights); PSNR/SSIM here measure quantization "
-                    "cost only",
+                    "cost only. On anchor-ambiguous (chroma-jitter-trained) "
+                    "checkpoints low values reflect a discrete PALETTE FLIP "
+                    "(a different valid colorization), not degradation — see "
+                    "int8_safe_drift_vs_f32 and docs/STATUS.md round-5",
             **drift,
+        },
+        "int8_safe_drift_vs_f32": {
+            "note": "--quantize int8_safe (repnet excluded, palette-stable; "
+                    "ops/quant.py::excluded) scored against the f32 outputs",
+            **safe_drift,
         },
         "wall_seconds": round(time.time() - t0, 1),
     }
