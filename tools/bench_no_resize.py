@@ -36,6 +36,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 REF_DATA = os.environ.get("DISCO_REF_DATA", "/root/reference/data")
 # the 3 distinct native resolutions of the bundled reference images
 FALLBACK_SHAPES = [(612, 612), (480, 640), (640, 480), (612, 612)]
