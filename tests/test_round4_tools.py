@@ -87,3 +87,38 @@ def test_bench_no_resize_corpus(tmp_path, monkeypatch):
     assert n == 8 and len(files) == 8
     shapes = {cv2.imread(str(f)).shape[:2] for f in files}
     assert shapes == {(612, 612), (480, 640), (640, 480)}
+
+
+def test_bench_no_resize_cli_leg_runs(tmp_path, monkeypatch):
+    """End-to-end smoke of the tool's CLI leg (round-5 regression guard: the
+    round-4 version was missing the repo-root sys.path insert, so run_cli had
+    never actually executed). Tiny images via REF_DATA keep it CPU-cheap."""
+    import json
+    import sys
+
+    import numpy as np
+
+    import tools.bench_no_resize as bnr
+
+    rng = np.random.default_rng(0)
+    data = tmp_path / "tiny"
+    data.mkdir()
+    for i, (h, w) in enumerate([(24, 28), (32, 24)]):
+        cv2.imwrite(
+            str(data / f"t{i}.jpg"), rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        )
+    monkeypatch.setattr(bnr, "REF_DATA", str(data))
+    monkeypatch.setattr(
+        sys, "argv",
+        ["bench_no_resize.py", "--repeats", "1", "--n_clusters", "2",
+         "--skip_resize_leg"],
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bnr.main()
+    line = [l for l in buf.getvalue().splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["n"] == 2 and out["no_resize_img_s"] > 0
